@@ -1,0 +1,95 @@
+"""Response-curve ops: per-sample LUT application, inverse-CRF decoding, and the
+monotonicity projection.
+
+These are the pipeline's most idiosyncratic numerics; semantics follow the
+reference exactly:
+
+  * ``apply_rf``      — tf_utils.py:54-105 (scale by k-1, gather floor/ceil with
+                        index clamping, linear interpolation).
+  * ``decode_invcrf`` — linearization_net.py:231-253 (g0 + Hinv @ w).
+  * ``monotonic_rf``  — linearization_net.py:368-392 (diff / lift / renormalize /
+                        cumsum / zero-pad projection to an increasing curve that
+                        starts at 0 and ends at 1).
+
+``apply_rf`` is the hot per-pixel gather; on TPU the default XLA lowering of
+``take_along_axis`` is a batched dynamic-gather.  A Pallas kernel reformulating
+the gather as one-hot MXU matmuls lives in ``ops.pallas.apply_rf_pallas`` and is
+selected via ``apply_rf(..., impl="pallas")``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def apply_rf(x: jnp.ndarray, rf: jnp.ndarray, impl: str = "xla") -> jnp.ndarray:
+    """Apply a per-sample 1-D response curve to an image by linear interpolation.
+
+    Args:
+      x:  [b, ...] values nominally in [0, 1] (values outside clamp to the curve
+          endpoints, matching the reference's index clipping).
+      rf: [b, k] curve samples on a uniform grid over [0, 1].
+      impl: "xla" (take_along_axis gather) or "pallas" (MXU one-hot kernel).
+
+    Returns: same shape as x.
+    """
+    if impl == "pallas":
+        from singlehdr_tpu.ops.pallas.apply_rf_pallas import apply_rf_pallas
+
+        return apply_rf_pallas(x, rf)
+
+    b, k = rf.shape
+    shape = x.shape
+    if shape[0] != b:
+        raise ValueError(
+            f"apply_rf: batch mismatch — x has batch {shape[0]}, rf has {b}"
+        )
+    y = (k - 1) * x.reshape(b, -1)              # [b, n] fractional index
+    y0 = jnp.floor(y)
+    frac = y - y0                               # in [0, 1) for in-range y
+    i0 = jnp.clip(y0.astype(jnp.int32), 0, k - 1)
+    # the ceil index clamps floor+1 (NOT clip(floor)+1): for y < 0 both
+    # indices land on sample 0, exactly as in the reference's sample_1d
+    # clipping (tf_utils.py:65).
+    i1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, k - 1)
+    v0 = jnp.take_along_axis(rf, i0, axis=1)
+    v1 = jnp.take_along_axis(rf, i1, axis=1)
+    # (1-frac)*v0 + frac*v1; out-of-range y degrades to the endpoint sample
+    # exactly as in the reference (clamped indices make v0 == v1 there).
+    out = v0 + frac * (v1 - v0)
+    return out.reshape(shape)
+
+
+def decode_invcrf(w: jnp.ndarray, g0: jnp.ndarray, hinv: jnp.ndarray) -> jnp.ndarray:
+    """Reconstruct inverse CRFs from PCA weights: ``g0 + hinv @ w``.
+
+    Args:
+      w:    [b, p] predicted PCA weights (p = 11 in the reference).
+      g0:   [s] mean inverse curve.
+      hinv: [s, >=p] inverse basis; only the first p columns are used.
+
+    Returns: [b, s] inverse CRFs (not yet monotone — see ``monotonic_rf``).
+    """
+    p = w.shape[-1]
+    # tiny [b,p]x[p,s] contraction: force full f32 on the MXU — curve shape
+    # accuracy matters far more than the negligible FLOPs here.
+    return g0[None, :] + jnp.matmul(
+        w, hinv[:, :p].T, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def monotonic_rf(rf: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable projection of curves onto increasing curves with rf[0]=0,
+    rf[-1]=1.
+
+    Steps (linearization_net.py:368-392): finite differences; lift every step by
+    ``relu(-min step)`` so all steps are nonnegative; renormalize steps to sum
+    to 1; cumulative sum; prepend 0.
+    """
+    g = rf[:, 1:] - rf[:, :-1]                              # [b, s-1]
+    lift = jnp.maximum(0.0, -jnp.min(g, axis=-1, keepdims=True))
+    g = g + lift
+    g = g / jnp.sum(g, axis=-1, keepdims=True)
+    out = jnp.cumsum(g, axis=-1)
+    return jnp.pad(out, ((0, 0), (1, 0)))
