@@ -1,0 +1,119 @@
+"""Orbax-backed checkpoint/resume.
+
+Replaces the reference's tf.train.Checkpoint + CheckpointManager(max_to_keep=5)
+auto-restore scheme (tf_utils.py:149-169).  Each training unit (deq / lin /
+hal / ref / jnt) gets its own directory; the stored tree is
+{step, params, batch_stats, opt_state} — explicitly named, unlike the
+reference's model slot that is literally called ``lin`` for every net
+(tf_utils.py:159), a quirk its own weight importer must special-case.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from singlehdr_tpu.train.state import NetState
+
+MAX_TO_KEEP = 5
+
+
+class CheckpointManager:
+    """Save/auto-restore one NetState under a directory."""
+
+    def __init__(self, directory: str, max_to_keep: int = MAX_TO_KEEP):
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, state: NetState, step: Optional[int] = None) -> None:
+        step = int(state.step) if step is None else int(step)
+        payload = {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    @property
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state: NetState) -> NetState:
+        """Restore the latest checkpoint into `state` (returns it unchanged if
+        none exists) — mirrors the reference's restore-if-present behavior."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return state
+        template = {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        return state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def restore_pretrained_subnets(
+    state: NetState, directories: dict[str, str], learning_rate: float
+) -> NetState:
+    """Load per-net pretrained checkpoints into a multi-net state.
+
+    The joint/finetune drivers restore each net's own pretraining checkpoint
+    before training with a fresh combined optimizer (joint_training.py:94-124,
+    finetune_real_dataset.py:91-126; the restored per-net optimizer slots are
+    vestigial there — SURVEY.md §5).  Here each subnet checkpoint's params and
+    batch stats are grafted into the multi-net state and the combined
+    optimizer is re-initialized over the merged params.
+    """
+    from singlehdr_tpu.train.state import make_optimizer
+
+    params = dict(state.params)
+    stats = dict(state.batch_stats)
+    for name, directory in directories.items():
+        if name not in params:
+            raise KeyError(f"state has no subnet {name!r}")
+        mgr = CheckpointManager(directory)
+        step = mgr.latest_step
+        if step is None:
+            mgr.close()
+            continue
+        sub_tx = make_optimizer(learning_rate)
+        template = {
+            "step": state.step,
+            "params": params[name],
+            "batch_stats": stats.get(name, {}),
+            "opt_state": sub_tx.init(params[name]),
+        }
+        restored = mgr._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        params[name] = restored["params"]
+        stats[name] = restored["batch_stats"]
+        mgr.close()
+    return state.replace(
+        params=params,
+        batch_stats=stats,
+        opt_state=state.tx.init(params),
+    )
