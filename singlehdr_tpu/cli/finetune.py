@@ -1,0 +1,79 @@
+"""HDR-Real finetune CLI: full 4-net pipeline + Refinement-Net
+(reference finetune_real_dataset.py).
+
+  python -m singlehdr_tpu.cli.finetune --records ./records
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from singlehdr_tpu.models import (
+    DequantizationNet,
+    HallucinationNet,
+    LinearizationNet,
+    RefinementNet,
+)
+from singlehdr_tpu.data.real import HdrRealPipeline
+from singlehdr_tpu.train.checkpoint import restore_pretrained_subnets
+from singlehdr_tpu.train.loop import run_real_finetune
+from singlehdr_tpu.train.state import init_multi_state
+from singlehdr_tpu.train.steps import make_finetune_train_step
+from singlehdr_tpu.utils import create_run_dirs
+
+LEARNING_RATE = 1e-5  # finetune_real_dataset.py:24
+BATCH_SIZE = 4        # finetune_real_dataset.py:25
+
+
+def build_parser() -> argparse.ArgumentParser:
+    cwd = os.getcwd()
+    p = argparse.ArgumentParser(description="Finetune full pipeline on HDR-Real")
+    p.add_argument("--records", type=str, required=True, help=".shdrec directory")
+    p.add_argument("--deq_ckpt", type=str, default=os.path.join(cwd, "checkpoints/deq"))
+    p.add_argument("--lin_ckpt", type=str, default=os.path.join(cwd, "checkpoints/lin"))
+    p.add_argument("--hal_ckpt", type=str, default=os.path.join(cwd, "checkpoints/hal"))
+    p.add_argument("--ref_ckpt", type=str, default=os.path.join(cwd, "checkpoints/ref"))
+    p.add_argument("--batch_size", type=int, default=BATCH_SIZE)
+    p.add_argument("--lr", type=float, default=LEARNING_RATE)
+    p.add_argument("--epochs", type=int, default=100_000)
+    return p
+
+
+def run(args) -> None:
+    pipeline = HdrRealPipeline(args.records, batch_size=args.batch_size, training=True)
+    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)  # init shape-agnostic
+    modules = {
+        "deq": DequantizationNet(),
+        "lin": LinearizationNet(),
+        "hal": HallucinationNet(),
+        "ref": RefinementNet(),
+    }
+    samples = {
+        "deq": sample,
+        "lin": sample,
+        "hal": sample,
+        "ref": jnp.zeros((1, 64, 64, 9), jnp.float32),
+    }
+    state = init_multi_state(modules, samples, jax.random.PRNGKey(0), args.lr)
+    state = restore_pretrained_subnets(
+        state,
+        {"deq": args.deq_ckpt, "lin": args.lin_ckpt, "hal": args.hal_ckpt},
+        args.lr,
+    )
+    dirs = create_run_dirs(os.getcwd(), "ref")
+    run_real_finetune(
+        state=state,
+        step_fn=make_finetune_train_step(),
+        pipeline=pipeline,
+        epochs=args.epochs,
+        ckpt_dir=args.ref_ckpt,
+        log_dir=dirs["tensorboard"],
+    )
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

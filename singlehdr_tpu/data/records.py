@@ -143,7 +143,7 @@ def patch_is_informative(ldr_patch_u8: np.ndarray) -> bool:
     (convert_to_tf_record.py:53-68)."""
     gray = ldr_patch_u8.astype(np.float32) @ _LUMA
     extreme = int(np.sum(gray >= 249.0)) + int(np.sum(gray <= 6.0))
-    return extreme <= PATCH_SIZE * PATCH_SIZE // 2
+    return extreme <= gray.size // 2
 
 
 def iter_patch_origins(h: int, w: int, size: int = PATCH_SIZE, stride: int = PATCH_STRIDE):
@@ -169,6 +169,8 @@ def convert_hdr_real(
     out_dir: str,
     prefix: str = "train",
     log_every: int = 10,
+    patch_size: int = PATCH_SIZE,
+    patch_stride: int = PATCH_STRIDE,
 ) -> int:
     """Slice paired full images into filtered 256^2 patch records."""
     from singlehdr_tpu.data.hdr_io import read_hdr, read_ldr
@@ -184,8 +186,8 @@ def convert_hdr_real(
             if hdr.shape != ldr.shape:
                 raise ValueError(f"shape mismatch {hp} vs {lp}")
             h, wdt, _ = hdr.shape
-            for y, x in iter_patch_origins(h, wdt):
-                lp_patch = ldr[y : y + PATCH_SIZE, x : x + PATCH_SIZE]
+            for y, x in iter_patch_origins(h, wdt, patch_size, patch_stride):
+                lp_patch = ldr[y : y + patch_size, x : x + patch_size]
                 if patch_is_informative(lp_patch):
-                    w.write(hdr[y : y + PATCH_SIZE, x : x + PATCH_SIZE], lp_patch)
+                    w.write(hdr[y : y + patch_size, x : x + patch_size], lp_patch)
         return w.count

@@ -75,7 +75,8 @@ def normalize_hdr_mean(hdr: np.ndarray, target: float = 0.5) -> np.ndarray:
 
 
 class PatchHDRDataset:
-    """Two 512^2 half-crops per HDR file; optional 256^2 train augmentation."""
+    """Two 512^2 half-crops per HDR file; optional train augmentation to
+    ``patch_size`` (256 in the reference, dataset.py:238)."""
 
     def __init__(
         self,
@@ -83,10 +84,12 @@ class PatchHDRDataset:
         training: bool,
         cache: bool = True,
         seed: int = 0,
+        patch_size: int = PATCH_TRAIN,
     ):
         self._paths = list(paths)
         self._training = training
         self._cache = cache
+        self._patch = patch_size
         self._rng = np.random.RandomState(seed)
         self._file_cache: dict[int, np.ndarray] = {}
 
@@ -124,9 +127,9 @@ class PatchHDRDataset:
         scale = rng.uniform(0.5, 2.0)
         size = int(np.round(PATCH_FULL * scale))
         hdr = _resize_area(hdr, size, size)
-        y = rng.randint(0, max(1, hdr.shape[0] - PATCH_TRAIN))
-        x = rng.randint(0, max(1, hdr.shape[1] - PATCH_TRAIN))
-        hdr = hdr[y : y + PATCH_TRAIN, x : x + PATCH_TRAIN]
+        y = rng.randint(0, max(1, hdr.shape[0] - self._patch))
+        x = rng.randint(0, max(1, hdr.shape[1] - self._patch))
+        hdr = hdr[y : y + self._patch, x : x + self._patch]
         hdr = np.rot90(hdr, rng.randint(4))
         if rng.rand() < 0.5:
             hdr = np.flip(hdr, 0)
@@ -135,12 +138,16 @@ class PatchHDRDataset:
         return hdr
 
 
-def get_train_dataset(hdr_prefix: str) -> ProductDataset:
+def get_train_dataset(hdr_prefix: str, patch_size: int = PATCH_TRAIN) -> ProductDataset:
     """patches x (crf, invcrf) x exposure — items are (hdr, crf, invcrf, t)."""
     bank = get_crf_bank()
     return ProductDataset(
         [
-            PatchHDRDataset(discover_hdr_files(hdr_prefix, "train"), training=True),
+            PatchHDRDataset(
+                discover_hdr_files(hdr_prefix, "train"),
+                training=True,
+                patch_size=patch_size,
+            ),
             ZipDataset([ArrayDataset(bank.train_crf), ArrayDataset(bank.train_invcrf)]),
             ArrayDataset(get_exposure_ladder(TRAIN_EXPOSURES)),
         ]

@@ -78,19 +78,20 @@ class CheckpointManager:
 
 
 def restore_pretrained_subnets(
-    state: NetState, directories: dict[str, str], learning_rate: float
+    state: NetState, directories: dict[str, str], learning_rate: float = 0.0
 ) -> NetState:
-    """Load per-net pretrained checkpoints into a multi-net state.
+    """Load pretrained weights for subnets of a multi-net state.
 
     The joint/finetune drivers restore each net's own pretraining checkpoint
     before training with a fresh combined optimizer (joint_training.py:94-124,
     finetune_real_dataset.py:91-126; the restored per-net optimizer slots are
-    vestigial there — SURVEY.md §5).  Here each subnet checkpoint's params and
-    batch stats are grafted into the multi-net state and the combined
+    vestigial there — SURVEY.md §5).  Each directory may hold either a solo
+    NetState checkpoint (its ``params`` IS the subnet tree) or a multi-net
+    checkpoint containing the subnet by name (e.g. a joint/finetune state) —
+    the saved structure is inspected rather than assumed.  The combined
     optimizer is re-initialized over the merged params.
     """
-    from singlehdr_tpu.train.state import make_optimizer
-
+    del learning_rate  # kept for API stability; optimizer comes from `state`
     params = dict(state.params)
     stats = dict(state.batch_stats)
     for name, directory in directories.items():
@@ -101,17 +102,23 @@ def restore_pretrained_subnets(
         if step is None:
             mgr.close()
             continue
-        sub_tx = make_optimizer(learning_rate)
-        template = {
-            "step": state.step,
-            "params": params[name],
-            "batch_stats": stats.get(name, {}),
-            "opt_state": sub_tx.init(params[name]),
-        }
-        restored = mgr._mgr.restore(step, args=ocp.args.StandardRestore(template))
-        params[name] = restored["params"]
-        stats[name] = restored["batch_stats"]
+        raw = mgr._mgr.restore(step)  # saved structure, no template
         mgr.close()
+        saved_params = raw["params"]
+        saved_stats = raw.get("batch_stats") or {}
+        if isinstance(saved_params, dict) and name in saved_params:
+            saved_params = saved_params[name]
+            if isinstance(saved_stats, dict):
+                saved_stats = saved_stats.get(name) or {}
+        want = jax.tree.structure(params[name])
+        got = jax.tree.structure(saved_params)
+        if want != got:
+            raise ValueError(
+                f"checkpoint at {directory} does not match subnet {name!r}: "
+                f"expected {want}, got {got}"
+            )
+        params[name] = saved_params
+        stats[name] = saved_stats
     return state.replace(
         params=params,
         batch_stats=stats,

@@ -1,0 +1,165 @@
+"""Training loops wiring data, degradation, steps, checkpoints, and metrics.
+
+One generic loop drives all the reference's training configurations
+(SURVEY.md §3.1-3.3): per-net pretraining on HDR-Synth, joint deq+lin+hal, and
+HDR-Real finetuning of the full pipeline.  The HDR-Synth loop pipelines its
+three phases — host batch assembly, device degradation, host JPEG — so the JPEG
+round-trip of batch k+1 overlaps the train step of batch k.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from singlehdr_tpu.data.jpeg import jpeg_roundtrip_batch
+from singlehdr_tpu.data.loader import RandomSampleLoader
+from singlehdr_tpu.ops.degradation import (
+    jpeg_quality_ladder,
+    loss_mask_from_levels,
+    simulate_capture,
+)
+from singlehdr_tpu.train.checkpoint import CheckpointManager
+from singlehdr_tpu.train.metrics import Mean, MetricsWriter
+from singlehdr_tpu.train.state import NetState
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    batch_size: int = 16
+    iterations: int = 5_000_000     # the reference's "EPOCHS" are iterations
+    ckpt_every: int = 1000
+    log_every: int = 100
+    image_log_every: int = 1000
+    n_workers: int = 16
+    seed: int = 0
+    use_jpeg: bool = True           # False keeps degradation fully on-device
+
+
+class SynthBatchPipeline:
+    """HDR-Synth step inputs: loader -> device sim -> host JPEG -> mask.
+
+    Yields dicts with ldr / jpeg / clipped_hdr_t / hdr_t / mask / invcrf.
+    """
+
+    def __init__(self, dataset, cfg: LoopConfig):
+        self._loader = RandomSampleLoader(
+            dataset, cfg.batch_size, n_workers=cfg.n_workers, seed=cfg.seed
+        )
+        self._cfg = cfg
+        self._sim = jax.jit(simulate_capture)
+        self._qualities = jpeg_quality_ladder(cfg.batch_size)
+        self._key = jax.random.PRNGKey(cfg.seed)
+
+    def next_batch(self) -> dict:
+        hdr, crf, invcrf, t = [jnp.asarray(x) for x in self._loader.read_batch()]
+        self._key, sub = jax.random.split(self._key)
+        sim = self._sim(sub, hdr, crf, t)
+        if self._cfg.use_jpeg:
+            jpg_u8 = jpeg_roundtrip_batch(
+                np.asarray(sim.quantized_u8), self._qualities
+            )
+            jpg_u8 = jnp.asarray(jpg_u8)
+        else:
+            jpg_u8 = sim.quantized_u8
+        return {
+            "ldr": sim.ldr,
+            "jpeg": jpg_u8.astype(jnp.float32) / 255.0,
+            "clipped_hdr_t": sim.clipped_hdr_t,
+            "hdr_t": sim.hdr_t,
+            "mask": loss_mask_from_levels(jpg_u8),
+            "invcrf": invcrf,
+        }
+
+    def close(self):
+        self._loader.close()
+
+
+def run_synth_training(
+    *,
+    module_name: str,
+    state: NetState,
+    step_fn: Callable,
+    dataset,
+    cfg: LoopConfig,
+    ckpt_dir: str,
+    log_dir: str,
+    batch_to_args: Callable[[dict], tuple],
+    writer: Optional[MetricsWriter] = None,
+    image_taps: tuple = (),
+) -> NetState:
+    """Pretraining / joint loop over HDR-Synth (train.py:246-310 shape)."""
+    writer = writer or MetricsWriter(log_dir)
+    mgr = CheckpointManager(ckpt_dir)
+    state = mgr.restore(state)
+    start_step = int(state.step)
+    pipeline = SynthBatchPipeline(dataset, cfg)
+    tracker = Mean(f"loss_{module_name}")
+    try:
+        for it in range(start_step, cfg.iterations):
+            t0 = time.perf_counter()
+            batch = pipeline.next_batch()
+            state, loss, aux = step_fn(state, *batch_to_args(batch))
+            step = int(state.step)
+            tracker.update(float(loss))
+            if step % cfg.log_every == 0 or step == 1:
+                writer.scalar(f"{module_name}/loss", tracker.result(), step)
+                writer.scalar(
+                    f"{module_name}/step_time_s", time.perf_counter() - t0, step
+                )
+                tracker.reset()
+            if step % cfg.image_log_every == 0 or step == 1:
+                for tag in image_taps:
+                    if tag in aux:
+                        writer.image(f"{module_name}/{tag}", aux[tag], step)
+                writer.image(f"{module_name}/jpeg", batch["jpeg"], step)
+            if step % cfg.ckpt_every == 0 or step == 1:
+                mgr.save(state)
+        return state
+    finally:
+        pipeline.close()
+        mgr.wait()
+        mgr.close()
+        writer.flush()
+
+
+def run_real_finetune(
+    *,
+    state: NetState,
+    step_fn: Callable,
+    pipeline,  # HdrRealPipeline
+    epochs: int,
+    ckpt_dir: str,
+    log_dir: str,
+    writer: Optional[MetricsWriter] = None,
+) -> NetState:
+    """HDR-Real finetune loop (finetune_real_dataset.py:190-225 shape):
+    epoch passes with per-epoch checkpointing and summaries."""
+    writer = writer or MetricsWriter(log_dir)
+    mgr = CheckpointManager(ckpt_dir)
+    state = mgr.restore(state)
+    tracker = Mean("loss_ref")
+    for epoch in range(1, epochs + 1):
+        t0 = time.perf_counter()
+        tracker.reset()
+        aux = {}
+        for ldr, hdr in pipeline.epoch():
+            state, loss, aux = step_fn(state, jnp.asarray(ldr), jnp.asarray(hdr))
+            tracker.update(float(aux["loss_ref"]))
+        writer.scalar("ref/loss", tracker.result(), epoch)
+        writer.scalar("ref/epoch_time_s", time.perf_counter() - t0, epoch)
+        for tag in ("c_pred", "b_pred", "a_pred", "out"):
+            if tag in aux:
+                writer.image(f"ref/{tag}", aux[tag], epoch)
+        if "out" in aux:
+            writer.histogram("ref/out_histogram", np.asarray(aux["out"]), epoch)
+        mgr.save(state)
+    mgr.wait()
+    mgr.close()
+    writer.flush()
+    return state
