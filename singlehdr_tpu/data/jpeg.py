@@ -50,6 +50,10 @@ def jpeg_roundtrip_batch(
 ) -> np.ndarray:
     """Compress+decompress each [h,w,3] uint8 sample at its own quality.
 
+    Uses the native C++ libjpeg codec (``native/``, direct JCS_RGB — the same
+    colorspace TF's adjust_jpeg_quality uses) when built, else cv2 on a thread
+    pool.
+
     Args:
       rgb_u8: [b,h,w,3] uint8 RGB batch.
       qualities: length-b JPEG quality ladder (see ops.degradation).
@@ -60,6 +64,12 @@ def jpeg_roundtrip_batch(
         raise TypeError(f"expected uint8, got {rgb_u8.dtype}")
     if len(qualities) != rgb_u8.shape[0]:
         raise ValueError("quality ladder length must equal batch size")
+    from singlehdr_tpu.data import native_jpeg
+
+    if native_jpeg.available():
+        return native_jpeg.jpeg_roundtrip_batch_native(
+            np.ascontiguousarray(rgb_u8), qualities
+        )
     if not _HAS_CV2:  # pragma: no cover — identity fallback
         return rgb_u8.copy()
     futs = [
