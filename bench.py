@@ -29,10 +29,13 @@ import numpy as np
 # batch 1, jax CPU backend (see tools/measure_cpu_baseline.py).
 CPU_BASELINE_IMG_S = 0.174
 
-BATCH = 8
+BATCH = 16     # best measured throughput config on v5e
 SIZE = 512
 WARMUP = 2
 ITERS = 12
+# bfloat16 compute (f32 params/LUT math): deviates from the f32 pipeline by
+# ~64 dB PSNR at 512^2 — negligible against the 0.1 dB parity budget.
+DTYPE = "bfloat16"
 
 
 def log(*a):
@@ -43,7 +46,7 @@ def main():
     from singlehdr_tpu.models import ReverseCameraPipeline
 
     log("devices:", jax.devices())
-    pipe = ReverseCameraPipeline()
+    pipe = ReverseCameraPipeline(dtype=jnp.dtype(DTYPE))
     ldr = jnp.asarray(
         np.random.RandomState(0).rand(BATCH, SIZE, SIZE, 3), jnp.float32
     )

@@ -39,6 +39,9 @@ class LoopConfig:
     n_workers: int = 16
     seed: int = 0
     use_jpeg: bool = True           # False keeps degradation fully on-device
+    prefetch: int = 2               # host batches prepared ahead of the step
+    profile_dir: str | None = None  # capture a jax.profiler trace when set
+    profile_steps: tuple = (10, 15)  # [start, stop) step window of the trace
 
 
 class SynthBatchPipeline:
@@ -80,6 +83,46 @@ class SynthBatchPipeline:
         self._loader.close()
 
 
+class _Prefetcher:
+    """Run a batch producer in a background thread, `depth` batches ahead.
+
+    Overlaps the host half of the pipeline (loader dequeue + JPEG round-trip)
+    with the device step; JAX dispatch is thread-safe so the producer can
+    enqueue the on-device simulate_capture as well.
+    """
+
+    def __init__(self, produce: Callable[[], dict], depth: int):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+
+        def loop():
+            while not self._stop.is_set():
+                batch = produce()
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=loop, daemon=True, name="prefetch")
+        self._thread.start()
+
+    def next(self) -> dict:
+        return self._q.get()
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+
+
 def run_synth_training(
     *,
     module_name: str,
@@ -99,11 +142,16 @@ def run_synth_training(
     state = mgr.restore(state)
     start_step = int(state.step)
     pipeline = SynthBatchPipeline(dataset, cfg)
+    prefetcher = _Prefetcher(pipeline.next_batch, cfg.prefetch)
     tracker = Mean(f"loss_{module_name}")
     try:
         for it in range(start_step, cfg.iterations):
             t0 = time.perf_counter()
-            batch = pipeline.next_batch()
+            if cfg.profile_dir and it == start_step + cfg.profile_steps[0]:
+                jax.profiler.start_trace(cfg.profile_dir)
+            if cfg.profile_dir and it == start_step + cfg.profile_steps[1]:
+                jax.profiler.stop_trace()
+            batch = prefetcher.next()
             state, loss, aux = step_fn(state, *batch_to_args(batch))
             step = int(state.step)
             tracker.update(float(loss))
@@ -122,6 +170,7 @@ def run_synth_training(
                 mgr.save(state)
         return state
     finally:
+        prefetcher.close()
         pipeline.close()
         mgr.wait()
         mgr.close()

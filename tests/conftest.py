@@ -22,6 +22,12 @@ import jax  # noqa: E402
 # dispatches over the device tunnel.
 jax.config.update("jax_platform_name", "cpu")
 
+# Persistent compilation cache: the hal/joint/finetune steps cost minutes of
+# XLA-CPU compile; cache them across suite runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -152,3 +152,21 @@ def test_finetune_and_infer_cli(real_dir, tmp_path, monkeypatch):
     hdr = read_hdr(outs[0])
     assert hdr.shape == (100, 140, 3)
     assert np.isfinite(hdr).all()
+
+    # evaluation CLI over the same records + checkpoint
+    from singlehdr_tpu.cli import evaluate
+
+    eargs = evaluate.build_parser().parse_args(
+        [
+            "--records", records,
+            "--deq_ckpt", str(tmp_path / "ck_ref"),
+            "--lin_ckpt", str(tmp_path / "ck_ref"),
+            "--hal_ckpt", str(tmp_path / "ck_ref"),
+            "--ref_ckpt", str(tmp_path / "ck_ref"),
+            "--batch_size", "2",
+            "--max_batches", "2",
+        ]
+    )
+    results = evaluate.run(eargs)
+    assert np.isfinite(results["psnr_mu_db"])
+    assert 0.0 <= results["ssim_mu"] <= 1.0
