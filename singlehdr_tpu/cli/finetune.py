@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=BATCH_SIZE)
     p.add_argument("--lr", type=float, default=LEARNING_RATE)
     p.add_argument("--epochs", type=int, default=100_000)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"], help="compute dtype")
     return p
 
 
@@ -67,7 +69,7 @@ def run(args) -> None:
     dirs = create_run_dirs(os.getcwd(), "ref")
     run_real_finetune(
         state=state,
-        step_fn=make_finetune_train_step(),
+        step_fn=make_finetune_train_step(jnp.dtype(args.dtype)),
         pipeline=pipeline,
         epochs=args.epochs,
         ckpt_dir=args.ref_ckpt,

@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jpeg", type=str2bool, default=True)
     p.add_argument("--workers", type=int, default=16)
     p.add_argument("--patch_size", type=int, default=256)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"], help="compute dtype")
     return p
 
 
@@ -80,7 +82,7 @@ def run(args) -> None:
     run_synth_training(
         module_name="jnt",
         state=state,
-        step_fn=make_joint_train_step(vgg),
+        step_fn=make_joint_train_step(vgg, jnp.dtype(args.dtype)),
         dataset=dataset,
         cfg=cfg,
         ckpt_dir=args.jnt_ckpt,

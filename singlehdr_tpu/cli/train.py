@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jpeg", type=str2bool, default=True)
     p.add_argument("--workers", type=int, default=16)
     p.add_argument("--patch_size", type=int, default=256)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"], help="compute dtype")
     return p
 
 
@@ -61,6 +63,7 @@ def run(args) -> None:
         n_workers=args.workers,
     )
     dataset = get_train_dataset(args.hdrdir, patch_size=args.patch_size)
+    dtype = jnp.dtype(args.dtype)
     sample = jnp.zeros((1, 64, 64, 3), jnp.float32)  # init shape-agnostic
     rng = jax.random.PRNGKey(0)
 
@@ -70,7 +73,7 @@ def run(args) -> None:
         run_synth_training(
             module_name="deq",
             state=state,
-            step_fn=steps_mod.deq_train_step,
+            step_fn=steps_mod.make_deq_train_step(dtype),
             dataset=dataset,
             cfg=cfg,
             ckpt_dir=args.deq_ckpt,
@@ -84,7 +87,7 @@ def run(args) -> None:
         run_synth_training(
             module_name="lin",
             state=state,
-            step_fn=steps_mod.lin_train_step,
+            step_fn=steps_mod.make_lin_train_step(dtype),
             dataset=dataset,
             cfg=cfg,
             ckpt_dir=args.lin_ckpt,
@@ -104,7 +107,7 @@ def run(args) -> None:
         run_synth_training(
             module_name="hal",
             state=state,
-            step_fn=steps_mod.make_hal_train_step(vgg),
+            step_fn=steps_mod.make_hal_train_step(vgg, dtype),
             dataset=dataset,
             cfg=cfg,
             ckpt_dir=args.hal_ckpt,

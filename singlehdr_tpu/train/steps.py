@@ -96,56 +96,61 @@ def _apply(module, state: NetState, x, *, name=None, train=True):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, donate_argnums=0)
-def deq_train_step(state: NetState, ldr, jpeg, mask) -> StepOutput:
+def make_deq_train_step(dtype=jnp.float32):
     """Dequantization pretraining (train.py:164-177)."""
+    net = DequantizationNet(dtype=dtype)
 
-    def loss_fn(params):
-        pred, new_stats = _apply(
-            DequantizationNet(), state.replace(params=params), jpeg
+    @partial(jax.jit, donate_argnums=0)
+    def deq_train_step(state: NetState, ldr, jpeg, mask) -> StepOutput:
+        def loss_fn(params):
+            pred, new_stats = _apply(net, state.replace(params=params), jpeg)
+            pred = jnp.clip(pred, 0.0, 1.0)
+            per_sample = masked_l2(pred, ldr, mask)
+            return scalar_from_per_sample(per_sample), (new_stats, per_sample)
+
+        (loss, (new_stats, per_sample)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        return StepOutput(
+            state.apply_gradients(grads, new_stats), loss, {"loss_deq": per_sample}
         )
-        pred = jnp.clip(pred, 0.0, 1.0)
-        per_sample = masked_l2(pred, ldr, mask)
-        return scalar_from_per_sample(per_sample), (new_stats, per_sample)
 
-    (loss, (new_stats, per_sample)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True
-    )(state.params)
-    return StepOutput(
-        state.apply_gradients(grads, new_stats), loss, {"loss_deq": per_sample}
-    )
+    return deq_train_step
 
 
-@partial(jax.jit, donate_argnums=0)
-def lin_train_step(state: NetState, ldr, clipped_hdr_t, mask, invcrf_gt) -> StepOutput:
+def make_lin_train_step(dtype=jnp.float32):
     """Linearization pretraining (train.py:182-197)."""
+    net = LinearizationNet(dtype=dtype)
 
-    def loss_fn(params):
-        pred_invcrf, new_stats = _apply(
-            LinearizationNet(), state.replace(params=params), ldr
+    @partial(jax.jit, donate_argnums=0)
+    def lin_train_step(state: NetState, ldr, clipped_hdr_t, mask, invcrf_gt) -> StepOutput:
+        def loss_fn(params):
+            pred_invcrf, new_stats = _apply(net, state.replace(params=params), ldr)
+            pred_lin = apply_rf(ldr, pred_invcrf)
+            crf_mse = jnp.mean(
+                jnp.square(pred_invcrf - invcrf_gt), axis=1
+            ).reshape(-1, 1, 1, 1)
+            per_sample = (
+                masked_l2(pred_lin, clipped_hdr_t) + PRETRAIN_WEIGHTS.crf * crf_mse
+            ) * mask
+            return scalar_from_per_sample(per_sample), (new_stats, per_sample, crf_mse)
+
+        (loss, (new_stats, per_sample, crf_mse)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        return StepOutput(
+            state.apply_gradients(grads, new_stats),
+            loss,
+            {"loss_lin": per_sample, "crf_mse": jnp.mean(crf_mse)},
         )
-        pred_lin = apply_rf(ldr, pred_invcrf)
-        crf_mse = jnp.mean(
-            jnp.square(pred_invcrf - invcrf_gt), axis=1
-        ).reshape(-1, 1, 1, 1)
-        per_sample = (
-            masked_l2(pred_lin, clipped_hdr_t) + PRETRAIN_WEIGHTS.crf * crf_mse
-        ) * mask
-        return scalar_from_per_sample(per_sample), (new_stats, per_sample, crf_mse)
 
-    (loss, (new_stats, per_sample, crf_mse)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True
-    )(state.params)
-    return StepOutput(
-        state.apply_gradients(grads, new_stats),
-        loss,
-        {"loss_lin": per_sample, "crf_mse": jnp.mean(crf_mse)},
-    )
+    return lin_train_step
 
 
-def make_hal_train_step(vgg_apply: VggApply):
+def make_hal_train_step(vgg_apply: VggApply, dtype=jnp.float32):
     """Hallucination pretraining (train.py:202-244); VGG weights are closed
     over as jit-time constants."""
+    net = HallucinationNet(dtype=dtype)
 
     @partial(jax.jit, donate_argnums=0)
     def hal_train_step(state: NetState, hdr_t, clipped_hdr_t, mask) -> StepOutput:
@@ -153,7 +158,7 @@ def make_hal_train_step(vgg_apply: VggApply):
 
         def loss_fn(params):
             bgr_res, new_stats = _apply(
-                HallucinationNet(), state.replace(params=params), clipped_hdr_t
+                net, state.replace(params=params), clipped_hdr_t
             )
             y = clipped_hdr_t + alpha * bgr_to_rgb(bgr_res)
             per_sample = hallucination_loss(
@@ -183,10 +188,12 @@ def make_hal_train_step(vgg_apply: VggApply):
 # --------------------------------------------------------------------------
 
 
-def make_joint_train_step(vgg_apply: VggApply):
+def make_joint_train_step(vgg_apply: VggApply, dtype=jnp.float32):
     """Joint deq+lin+hal training (joint_training.py:137-194)."""
 
-    deq, lin, hal = DequantizationNet(), LinearizationNet(), HallucinationNet()
+    deq = DequantizationNet(dtype=dtype)
+    lin = LinearizationNet(dtype=dtype)
+    hal = HallucinationNet(dtype=dtype)
 
     @partial(jax.jit, donate_argnums=0)
     def joint_train_step(
@@ -247,11 +254,11 @@ def make_joint_train_step(vgg_apply: VggApply):
 # --------------------------------------------------------------------------
 
 
-def make_finetune_train_step():
+def make_finetune_train_step(dtype=jnp.float32):
     """Finetune all four nets on HDR-Real (finetune_real_dataset.py:144-183)."""
 
-    deq, lin = DequantizationNet(), LinearizationNet()
-    hal, ref = HallucinationNet(), RefinementNet()
+    deq, lin = DequantizationNet(dtype=dtype), LinearizationNet(dtype=dtype)
+    hal, ref = HallucinationNet(dtype=dtype), RefinementNet(dtype=dtype)
 
     @partial(jax.jit, donate_argnums=0)
     def finetune_train_step(state: NetState, ldr, hdr) -> StepOutput:
@@ -287,3 +294,8 @@ def make_finetune_train_step():
         return StepOutput(state.apply_gradients(grads, new_stats), loss, aux)
 
     return finetune_train_step
+
+
+# Default f32 instances of the simple per-net steps (jitted once on use).
+deq_train_step = make_deq_train_step()
+lin_train_step = make_lin_train_step()
