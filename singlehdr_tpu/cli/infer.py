@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hal_ckpt", type=str, default=os.path.join(cwd, "checkpoints/hal"))
     p.add_argument("--ref_ckpt", type=str, default=os.path.join(cwd, "checkpoints/ref"))
     p.add_argument("--bucket", type=int, default=64, help="pad sizes to this multiple")
+    p.add_argument("--tiled", action="store_true",
+                   help="constant-shape tiled inference for very large images")
+    p.add_argument("--tile", type=int, default=512)
+    p.add_argument("--halo", type=int, default=64)
     return p
 
 
@@ -75,7 +79,13 @@ def load_pipeline_variables(args) -> dict:
 def run(args) -> None:
     out_dir = os.path.abspath(args.output_path)
     os.makedirs(out_dir, exist_ok=True)
-    predictor = HdrPredictor(load_pipeline_variables(args), bucket_multiple=args.bucket)
+    variables = load_pipeline_variables(args)
+    if args.tiled:
+        from singlehdr_tpu.tiled import TiledPredictor
+
+        predictor = TiledPredictor(variables, tile=args.tile, halo=args.halo)
+    else:
+        predictor = HdrPredictor(variables, bucket_multiple=args.bucket)
 
     paths = sorted(glob.glob(os.path.join(args.dir, "*.jpg")))
     paths += sorted(glob.glob(os.path.join(args.dir, "*.png")))

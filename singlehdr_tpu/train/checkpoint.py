@@ -73,8 +73,47 @@ class CheckpointManager:
             opt_state=restored["opt_state"],
         )
 
+    def restore_from_spec(self, spec: "StateSpec") -> Optional[NetState]:
+        """Rebuild a NetState purely from shape/dtype specs + the latest
+        checkpoint — usable after a device failure invalidated (donated) the
+        live buffers.  Returns None when no checkpoint exists."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        template = {
+            "step": spec.step,
+            "params": spec.params,
+            "batch_stats": spec.batch_stats,
+            "opt_state": spec.opt_state,
+        }
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        return NetState(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            tx=spec.tx,
+        )
+
     def close(self) -> None:
         self._mgr.close()
+
+
+class StateSpec:
+    """Abstract (shape/dtype) snapshot of a NetState, safe to hold across
+    device failures — contains no device buffers."""
+
+    def __init__(self, state: NetState):
+        as_spec = lambda t: jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t
+        )
+        self.step = as_spec(state.step)
+        self.params = as_spec(state.params)
+        self.batch_stats = as_spec(state.batch_stats)
+        self.opt_state = as_spec(state.opt_state)
+        self.tx = state.tx
 
 
 def restore_pretrained_subnets(

@@ -24,9 +24,14 @@ from singlehdr_tpu.ops.degradation import (
     loss_mask_from_levels,
     simulate_capture,
 )
-from singlehdr_tpu.train.checkpoint import CheckpointManager
+from singlehdr_tpu.train.checkpoint import CheckpointManager, StateSpec
 from singlehdr_tpu.train.metrics import Mean, MetricsWriter
 from singlehdr_tpu.train.state import NetState
+
+# Device/runtime failures considered transient (the hosted-TPU tunnel drops
+# periodically); anything else propagates immediately.
+_TRANSIENT_ERRORS = (jax.errors.JaxRuntimeError,)
+_MAX_RECOVERIES = 3
 
 
 @dataclasses.dataclass
@@ -144,15 +149,35 @@ def run_synth_training(
     pipeline = SynthBatchPipeline(dataset, cfg)
     prefetcher = _Prefetcher(pipeline.next_batch, cfg.prefetch)
     tracker = Mean(f"loss_{module_name}")
+    spec = StateSpec(state)
+    recoveries = 0
     try:
-        for it in range(start_step, cfg.iterations):
+        it = start_step
+        while it < cfg.iterations:
             t0 = time.perf_counter()
             if cfg.profile_dir and it == start_step + cfg.profile_steps[0]:
                 jax.profiler.start_trace(cfg.profile_dir)
             if cfg.profile_dir and it == start_step + cfg.profile_steps[1]:
                 jax.profiler.stop_trace()
             batch = prefetcher.next()
-            state, loss, aux = step_fn(state, *batch_to_args(batch))
+            try:
+                state, loss, aux = step_fn(state, *batch_to_args(batch))
+                jax.block_until_ready(loss)
+                recoveries = 0
+            except _TRANSIENT_ERRORS:
+                # the step's donated buffers are gone; rebuild from the last
+                # checkpoint (elastic restart-from-checkpoint, SURVEY.md §5)
+                recoveries += 1
+                if recoveries > _MAX_RECOVERIES:
+                    raise
+                restored = mgr.restore_from_spec(spec)
+                if restored is None:
+                    raise
+                state = restored
+                it = int(state.step)
+                time.sleep(min(30.0, 5.0 * recoveries))
+                continue
+            it += 1
             step = int(state.step)
             tracker.update(float(loss))
             if step % cfg.log_every == 0 or step == 1:
