@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--patch_size", type=int, default=256)
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"], help="compute dtype")
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--ckpt_every", type=int, default=1000)
     return p
 
 
@@ -61,6 +63,8 @@ def run(args) -> None:
         iterations=args.iterations,
         use_jpeg=args.jpeg,
         n_workers=args.workers,
+        log_every=args.log_every,
+        ckpt_every=args.ckpt_every,
     )
     dataset = get_train_dataset(args.hdrdir, patch_size=args.patch_size)
     dtype = jnp.dtype(args.dtype)

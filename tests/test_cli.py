@@ -76,6 +76,25 @@ def test_train_cli_deq_two_iterations(synth_dir, tmp_path, monkeypatch):
     assert glob.glob(str(tmp_path / "ck_deq" / "*"))
 
 
+def test_validate_synth_cli(synth_dir, tmp_path, monkeypatch):
+    from singlehdr_tpu.cli import validate_synth
+
+    monkeypatch.chdir(tmp_path)
+    args = validate_synth.build_parser().parse_args(
+        [
+            "--hdrdir", synth_dir,
+            "--deq_ckpt", str(tmp_path / "no_deq"),
+            "--lin_ckpt", str(tmp_path / "no_lin"),
+            "--batch_size", "2",
+            "--batches", "2",
+            "--size", "64",
+        ]
+    )
+    results = validate_synth.run(args)
+    assert np.isfinite(results["deq_psnr"])
+    assert results["crf_mse"] >= 0.0
+
+
 def test_joint_cli_one_iteration(synth_dir, tmp_path, monkeypatch):
     from singlehdr_tpu.cli import joint_train
 
