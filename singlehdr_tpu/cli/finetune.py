@@ -42,10 +42,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=100_000)
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"], help="compute dtype")
+    p.add_argument("--mesh", type=str, default="",
+                   help="'D' or 'D,S': data(,spatial) mesh axes over devices")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of process 0 for multi-host runs")
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
     return p
 
 
+def _parse_mesh(spec: str):
+    if not spec:
+        return None
+    from singlehdr_tpu.parallel import make_mesh
+
+    parts = [int(x) for x in spec.split(",")]
+    data = parts[0]
+    spatial = parts[1] if len(parts) > 1 else 1
+    return make_mesh(data * spatial, spatial=spatial)
+
+
 def run(args) -> None:
+    from singlehdr_tpu.parallel import initialize_multihost
+
+    initialize_multihost(args.coordinator, args.num_processes, args.process_id)
     pipeline = HdrRealPipeline(args.records, batch_size=args.batch_size, training=True)
     sample = jnp.zeros((1, 64, 64, 3), jnp.float32)  # init shape-agnostic
     modules = {
@@ -74,6 +94,7 @@ def run(args) -> None:
         epochs=args.epochs,
         ckpt_dir=args.ref_ckpt,
         log_dir=dirs["tensorboard"],
+        mesh=_parse_mesh(args.mesh),
     )
 
 

@@ -54,10 +54,30 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"], help="compute dtype")
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--ckpt_every", type=int, default=1000)
+    p.add_argument("--mesh", type=str, default="",
+                   help="'D' or 'D,S': data(,spatial) mesh axes over devices")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of process 0 for multi-host runs")
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
     return p
 
 
+def _parse_mesh(spec: str):
+    if not spec:
+        return None
+    from singlehdr_tpu.parallel import make_mesh
+
+    parts = [int(x) for x in spec.split(",")]
+    data = parts[0]
+    spatial = parts[1] if len(parts) > 1 else 1
+    return make_mesh(data * spatial, spatial=spatial)
+
+
 def run(args) -> None:
+    from singlehdr_tpu.parallel import initialize_multihost
+
+    initialize_multihost(args.coordinator, args.num_processes, args.process_id)
     cfg = LoopConfig(
         batch_size=args.batch_size,
         iterations=args.iterations,
@@ -68,6 +88,7 @@ def run(args) -> None:
     )
     dataset = get_train_dataset(args.hdrdir, patch_size=args.patch_size)
     dtype = jnp.dtype(args.dtype)
+    mesh = _parse_mesh(args.mesh)
     sample = jnp.zeros((1, 64, 64, 3), jnp.float32)  # init shape-agnostic
     rng = jax.random.PRNGKey(0)
 
@@ -84,6 +105,7 @@ def run(args) -> None:
             log_dir=dirs["tensorboard"],
             batch_to_args=lambda b: (b["ldr"], b["jpeg"], b["mask"]),
             image_taps=(),
+            mesh=mesh,
         )
     if args.lin:
         state = init_net_state(LinearizationNet(), rng, sample, args.lr)
@@ -103,6 +125,7 @@ def run(args) -> None:
                 b["invcrf"],
             ),
             image_taps=(),
+            mesh=mesh,
         )
     if args.hal:
         state = init_net_state(HallucinationNet(), rng, sample, args.lr)
@@ -118,6 +141,7 @@ def run(args) -> None:
             log_dir=dirs["tensorboard"],
             batch_to_args=lambda b: (b["hdr_t"], b["clipped_hdr_t"], b["mask"]),
             image_taps=("y_final",),
+            mesh=mesh,
         )
 
 

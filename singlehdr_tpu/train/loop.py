@@ -19,6 +19,7 @@ import numpy as np
 
 from singlehdr_tpu.data.jpeg import jpeg_roundtrip_batch
 from singlehdr_tpu.data.loader import RandomSampleLoader
+from singlehdr_tpu.parallel.mesh import replicate, shard_batch
 from singlehdr_tpu.ops.degradation import (
     jpeg_quality_ladder,
     loss_mask_from_levels,
@@ -140,11 +141,18 @@ def run_synth_training(
     batch_to_args: Callable[[dict], tuple],
     writer: Optional[MetricsWriter] = None,
     image_taps: tuple = (),
+    mesh=None,
 ) -> NetState:
-    """Pretraining / joint loop over HDR-Synth (train.py:246-310 shape)."""
+    """Pretraining / joint loop over HDR-Synth (train.py:246-310 shape).
+
+    With ``mesh`` set, parameters replicate across the mesh and batches shard
+    over ('data', 'spatial'); XLA inserts the gradient all-reduce over ICI.
+    """
     writer = writer or MetricsWriter(log_dir)
     mgr = CheckpointManager(ckpt_dir)
     state = mgr.restore(state)
+    if mesh is not None:
+        state = replicate(mesh, state)
     start_step = int(state.step)
     pipeline = SynthBatchPipeline(dataset, cfg)
     prefetcher = _Prefetcher(pipeline.next_batch, cfg.prefetch)
@@ -160,6 +168,8 @@ def run_synth_training(
             if cfg.profile_dir and it == start_step + cfg.profile_steps[1]:
                 jax.profiler.stop_trace()
             batch = prefetcher.next()
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
             try:
                 state, loss, aux = step_fn(state, *batch_to_args(batch))
                 jax.block_until_ready(loss)
@@ -173,7 +183,7 @@ def run_synth_training(
                 restored = mgr.restore_from_spec(spec)
                 if restored is None:
                     raise
-                state = restored
+                state = restored if mesh is None else replicate(mesh, restored)
                 it = int(state.step)
                 time.sleep(min(30.0, 5.0 * recoveries))
                 continue
@@ -211,18 +221,23 @@ def run_real_finetune(
     ckpt_dir: str,
     log_dir: str,
     writer: Optional[MetricsWriter] = None,
+    mesh=None,
 ) -> NetState:
     """HDR-Real finetune loop (finetune_real_dataset.py:190-225 shape):
     epoch passes with per-epoch checkpointing and summaries."""
     writer = writer or MetricsWriter(log_dir)
     mgr = CheckpointManager(ckpt_dir)
     state = mgr.restore(state)
+    if mesh is not None:
+        state = replicate(mesh, state)
     tracker = Mean("loss_ref")
     for epoch in range(1, epochs + 1):
         t0 = time.perf_counter()
         tracker.reset()
         aux = {}
         for ldr, hdr in pipeline.epoch():
+            if mesh is not None and ldr.shape[0] % mesh.shape["data"] == 0:
+                ldr, hdr = shard_batch(mesh, (ldr, hdr))
             state, loss, aux = step_fn(state, jnp.asarray(ldr), jnp.asarray(hdr))
             tracker.update(float(aux["loss_ref"]))
         writer.scalar("ref/loss", tracker.result(), epoch)

@@ -76,6 +76,28 @@ def test_train_cli_deq_two_iterations(synth_dir, tmp_path, monkeypatch):
     assert glob.glob(str(tmp_path / "ck_deq" / "*"))
 
 
+def test_train_cli_deq_data_parallel_mesh(synth_dir, tmp_path, monkeypatch):
+    """Two iterations on an 8-way data mesh (virtual CPU devices)."""
+    from singlehdr_tpu.cli import train as train_cli
+
+    monkeypatch.chdir(tmp_path)
+    args = train_cli.build_parser().parse_args(
+        [
+            "--hdrdir", synth_dir,
+            "--deq", "true",
+            "--deq_ckpt", str(tmp_path / "ck_deq_dp"),
+            "--batch_size", "8",
+            "--iterations", "2",
+            "--jpeg", "false",
+            "--workers", "2",
+            "--patch_size", "64",
+            "--mesh", "4,2",
+        ]
+    )
+    train_cli.run(args)
+    assert glob.glob(str(tmp_path / "ck_deq_dp" / "*"))
+
+
 def test_validate_synth_cli(synth_dir, tmp_path, monkeypatch):
     from singlehdr_tpu.cli import validate_synth
 
