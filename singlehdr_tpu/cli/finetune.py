@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"], help="compute dtype")
     p.add_argument("--mesh", type=str, default="",
                    help="'D' or 'D,S': data(,spatial) mesh axes over devices")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize forwards in backward (fit larger batches)")
     p.add_argument("--coordinator", type=str, default=None,
                    help="host:port of process 0 for multi-host runs")
     p.add_argument("--num_processes", type=int, default=1)
@@ -89,7 +91,7 @@ def run(args) -> None:
     dirs = create_run_dirs(os.getcwd(), "ref")
     run_real_finetune(
         state=state,
-        step_fn=make_finetune_train_step(jnp.dtype(args.dtype)),
+        step_fn=make_finetune_train_step(jnp.dtype(args.dtype), remat=args.remat),
         pipeline=pipeline,
         epochs=args.epochs,
         ckpt_dir=args.ref_ckpt,

@@ -19,7 +19,6 @@ import numpy as np
 
 from singlehdr_tpu.data.hdr_io import read_ldr, write_hdr
 from singlehdr_tpu.inference import HdrPredictor
-from singlehdr_tpu.models import ReverseCameraPipeline
 from singlehdr_tpu.train.checkpoint import restore_pretrained_subnets
 from singlehdr_tpu.train.state import init_multi_state
 from singlehdr_tpu.models import (

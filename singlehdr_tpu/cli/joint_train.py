@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt_every", type=int, default=1000)
     p.add_argument("--mesh", type=str, default="",
                    help="'D' or 'D,S': data(,spatial) mesh axes over devices")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize forwards in backward (fit larger batches)")
     p.add_argument("--coordinator", type=str, default=None,
                    help="host:port of process 0 for multi-host runs")
     p.add_argument("--num_processes", type=int, default=1)
@@ -106,7 +108,7 @@ def run(args) -> None:
     run_synth_training(
         module_name="jnt",
         state=state,
-        step_fn=make_joint_train_step(vgg, jnp.dtype(args.dtype)),
+        step_fn=make_joint_train_step(vgg, jnp.dtype(args.dtype), remat=args.remat),
         dataset=dataset,
         cfg=cfg,
         ckpt_dir=args.jnt_ckpt,

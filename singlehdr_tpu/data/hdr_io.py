@@ -14,7 +14,6 @@ nets are trained from scratch here, but weight importers must account for it.)
 
 from __future__ import annotations
 
-import os
 import struct
 
 import numpy as np

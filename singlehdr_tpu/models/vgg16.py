@@ -15,7 +15,7 @@ the official ``vgg16.npy`` restores exact parity (SURVEY.md §7.3).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

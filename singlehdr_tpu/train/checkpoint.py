@@ -11,7 +11,7 @@ reference's model slot that is literally called ``lin`` for every net
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import orbax.checkpoint as ocp

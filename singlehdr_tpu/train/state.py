@@ -10,7 +10,7 @@ submodule names so checkpoints interchange between drivers.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping
+from typing import Any, Dict, Mapping
 
 import flax.linen as nn
 import jax

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,17 +76,27 @@ class StepOutput(NamedTuple):
     aux: dict
 
 
-def _apply(module, state: NetState, x, *, name=None, train=True):
-    """Run a module in train mode collecting new batch stats."""
+def _apply(module, state: NetState, x, *, name=None, train=True, remat=False):
+    """Run a module in train mode collecting new batch stats.
+
+    With ``remat`` the forward is rematerialized in the backward pass
+    (jax.checkpoint) — activations are recomputed instead of stored, trading
+    ~1.3x FLOPs for the memory to fit larger batches/resolutions in HBM.
+    """
     params = state.params if name is None else state.params[name]
     stats = state.batch_stats if name is None else state.batch_stats.get(name, {})
     if train:
-        out, mutated = module.apply(
-            {"params": params, "batch_stats": stats},
-            x,
-            train=True,
-            mutable=["batch_stats"],
-        )
+        def fwd(p, inp):
+            return module.apply(
+                {"params": p, "batch_stats": stats},
+                inp,
+                train=True,
+                mutable=["batch_stats"],
+            )
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+        out, mutated = fwd(params, x)
         return out, mutated["batch_stats"]
     return module.apply({"params": params, "batch_stats": stats}, x), stats
 
@@ -188,7 +198,7 @@ def make_hal_train_step(vgg_apply: VggApply, dtype=jnp.float32):
 # --------------------------------------------------------------------------
 
 
-def make_joint_train_step(vgg_apply: VggApply, dtype=jnp.float32):
+def make_joint_train_step(vgg_apply: VggApply, dtype=jnp.float32, remat=False):
     """Joint deq+lin+hal training (joint_training.py:137-194)."""
 
     deq = DequantizationNet(dtype=dtype)
@@ -204,11 +214,11 @@ def make_joint_train_step(vgg_apply: VggApply, dtype=jnp.float32):
         def loss_fn(params):
             st = state.replace(params=params)
             # dequantization
-            c_pred, bs_deq = _apply(deq, st, jpeg, name="deq")
+            c_pred, bs_deq = _apply(deq, st, jpeg, name="deq", remat=remat)
             c_pred = jnp.clip(c_pred, 0.0, 1.0)
             loss_deq = masked_l2(c_pred, ldr, mask)
             # linearization (10x l2 weight vs pretraining)
-            pred_invcrf, bs_lin = _apply(lin, st, ldr, name="lin")
+            pred_invcrf, bs_lin = _apply(lin, st, ldr, name="lin", remat=remat)
             b_pred = apply_rf(ldr, pred_invcrf)
             crf_mse = jnp.mean(
                 jnp.square(pred_invcrf - invcrf_gt), axis=1
@@ -218,7 +228,7 @@ def make_joint_train_step(vgg_apply: VggApply, dtype=jnp.float32):
                 + JOINT_WEIGHTS.crf * crf_mse
             ) * mask
             # hallucination
-            bgr_res, bs_hal = _apply(hal, st, clipped_hdr_t, name="hal")
+            bgr_res, bs_hal = _apply(hal, st, clipped_hdr_t, name="hal", remat=remat)
             a_pred = clipped_hdr_t + alpha * bgr_to_rgb(bgr_res)
             loss_hal = hallucination_loss(
                 a_pred,
@@ -254,7 +264,7 @@ def make_joint_train_step(vgg_apply: VggApply, dtype=jnp.float32):
 # --------------------------------------------------------------------------
 
 
-def make_finetune_train_step(dtype=jnp.float32):
+def make_finetune_train_step(dtype=jnp.float32, remat=False):
     """Finetune all four nets on HDR-Real (finetune_real_dataset.py:144-183)."""
 
     deq, lin = DequantizationNet(dtype=dtype), LinearizationNet(dtype=dtype)
@@ -264,15 +274,19 @@ def make_finetune_train_step(dtype=jnp.float32):
     def finetune_train_step(state: NetState, ldr, hdr) -> StepOutput:
         def loss_fn(params):
             st = state.replace(params=params)
-            c_pred, bs_deq = _apply(deq, st, ldr, name="deq")
+            c_pred, bs_deq = _apply(deq, st, ldr, name="deq", remat=remat)
             c_pred = jnp.clip(c_pred, 0.0, 1.0)
-            pred_invcrf, bs_lin = _apply(lin, st, c_pred, name="lin")
+            pred_invcrf, bs_lin = _apply(lin, st, c_pred, name="lin", remat=remat)
             b_pred = apply_rf(c_pred, pred_invcrf)
             alpha = highlight_alpha(b_pred)
-            bgr_res, bs_hal = _apply(hal, st, b_pred, name="hal")
+            bgr_res, bs_hal = _apply(hal, st, b_pred, name="hal", remat=remat)
             a_pred = b_pred + alpha * bgr_to_rgb(bgr_res)
             out, bs_ref = _apply(
-                ref, st, jnp.concatenate([a_pred, b_pred, c_pred], -1), name="ref"
+                ref,
+                st,
+                jnp.concatenate([a_pred, b_pred, c_pred], -1),
+                name="ref",
+                remat=remat,
             )
             # renormalize output mean to 0.5 before the log-domain L1
             out = out / (1e-6 + jnp.mean(out, axis=(1, 2, 3), keepdims=True)) * 0.5

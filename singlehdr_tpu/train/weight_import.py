@@ -206,8 +206,6 @@ def import_net_weights(net: str, path: str, target_variables: Mapping[str, Any])
     the checkpoint provided them and target values elsewhere; raises on any
     shape mismatch.
     """
-    import jax
-
     raw = load_reference_checkpoint(path)
     imported = reference_keys_to_tree(net, raw)
 

@@ -232,3 +232,21 @@ def test_metrics_writer(tmp_path):
     w.close()
     events = (tmp_path / "logs" / "events.jsonl").read_text().strip()
     assert '"loss": 1.5' in events
+
+
+def test_joint_step_with_remat_matches(key, rng, vgg):
+    """Rematerialized joint step computes the same update as the plain one."""
+    b = _synth_batch(rng)
+    modules = {
+        "deq": DequantizationNet(),
+        "lin": LinearizationNet(),
+        "hal": HallucinationNet(),
+    }
+    samples = {"deq": b["jpeg"], "lin": b["ldr"], "hal": b["clipped"]}
+    args = (b["ldr"], b["jpeg"], b["clipped"], b["hdr_t"], b["mask"], b["invcrf"])
+
+    s1 = init_multi_state(modules, samples, key, 1e-5)
+    s2 = init_multi_state(modules, samples, key, 1e-5)
+    _, l1, _ = steps_mod.make_joint_train_step(vgg)(s1, *args)
+    _, l2, _ = steps_mod.make_joint_train_step(vgg, remat=True)(s2, *args)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
