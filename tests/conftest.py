@@ -35,3 +35,23 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+def pytest_configure(config):
+    """Build the native codec once if the toolchain is available (tests skip
+    gracefully when it isn't)."""
+    import pathlib
+    import subprocess
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    lib = root / "native" / "build" / "libshdr_native.so"
+    if not lib.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(root / "native")],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            pass
