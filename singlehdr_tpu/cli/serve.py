@@ -1,0 +1,46 @@
+"""Serving CLI: HTTP endpoint for single-image HDR reconstruction.
+
+  python -m singlehdr_tpu.cli.serve --port 8080 \
+      --deq_ckpt ... --lin_ckpt ... --hal_ckpt ... --ref_ckpt ...
+
+POST an LDR JPEG/PNG to /predict and receive a Radiance .hdr body.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from singlehdr_tpu.cli.infer import load_pipeline_variables
+from singlehdr_tpu.inference import HdrPredictor
+from singlehdr_tpu.serve import make_server
+
+
+def build_parser() -> argparse.ArgumentParser:
+    cwd = os.getcwd()
+    p = argparse.ArgumentParser(description="Serve HDR reconstruction over HTTP")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--deq_ckpt", type=str, default=os.path.join(cwd, "checkpoints/deq"))
+    p.add_argument("--lin_ckpt", type=str, default=os.path.join(cwd, "checkpoints/lin"))
+    p.add_argument("--hal_ckpt", type=str, default=os.path.join(cwd, "checkpoints/hal"))
+    p.add_argument("--ref_ckpt", type=str, default=os.path.join(cwd, "checkpoints/ref"))
+    p.add_argument("--bucket", type=int, default=64,
+                   help="pad request sizes to this multiple (bounds compiles)")
+    return p
+
+
+def run(args) -> None:
+    predictor = HdrPredictor(
+        load_pipeline_variables(args), bucket_multiple=args.bucket
+    )
+    server = make_server(predictor, args.host, args.port)
+    print(f"serving on http://{args.host}:{args.port}  (POST /predict)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

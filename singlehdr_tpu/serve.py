@@ -1,0 +1,129 @@
+"""HTTP inference server: LDR images in, Radiance HDR out.
+
+A dependency-free serving path (stdlib http.server) for the full 4-net
+pipeline.  Requests are decoded on pool threads; device execution is
+serialized through the predictor (single-chip) with shape-bucketed compiled
+programs, so mixed-size traffic reuses a small set of XLA executables.
+
+  POST /predict      body: JPEG/PNG bytes -> 200, body: Radiance .hdr bytes
+  GET  /healthz      -> 200 "ok"
+  GET  /stats        -> JSON request counters/latencies
+
+Run:  python -m singlehdr_tpu.cli.serve --port 8080 --ref_ckpt ...
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from singlehdr_tpu.data import hdr_io
+from singlehdr_tpu.inference import HdrPredictor
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+class _Stats:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self.total_latency = 0.0
+
+    def record(self, latency: float, error: bool) -> None:
+        with self.lock:
+            self.requests += 1
+            self.errors += int(error)
+            self.total_latency += latency
+
+    def snapshot(self) -> dict:
+        with self.lock:
+            mean = self.total_latency / self.requests if self.requests else 0.0
+            return {
+                "requests": self.requests,
+                "errors": self.errors,
+                "mean_latency_s": round(mean, 4),
+            }
+
+
+def _decode_ldr(body: bytes) -> np.ndarray:
+    if not _HAS_CV2:  # pragma: no cover
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+    img = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("could not decode image body")
+    return np.ascontiguousarray(img[:, :, ::-1])
+
+
+def _encode_hdr(hdr_rgb: np.ndarray) -> bytes:
+    if _HAS_CV2:
+        ok, buf = cv2.imencode(".hdr", hdr_rgb[:, :, ::-1])
+        if ok:
+            return buf.tobytes()
+    # pure-numpy flat RGBE fallback
+    data = hdr_io.rgbe_encode(hdr_rgb)
+    h, w, _ = hdr_rgb.shape
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    return header + data.tobytes()
+
+
+def make_server(predictor: HdrPredictor, host: str = "127.0.0.1", port: int = 8080):
+    """Build (not start) the HTTP server around a predictor."""
+    stats = _Stats()
+    device_lock = threading.Lock()  # one chip; serialize device work
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _reply(self, code: int, body: bytes, ctype: str = "application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, b"ok", "text/plain")
+            elif self.path == "/stats":
+                self._reply(
+                    200, json.dumps(stats.snapshot()).encode(), "application/json"
+                )
+            else:
+                self._reply(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._reply(404, b"not found", "text/plain")
+                return
+            t0 = time.perf_counter()
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                if length <= 0 or length > 256 << 20:
+                    raise ValueError("missing or oversized body")
+                rgb = _decode_ldr(self.rfile.read(length)).astype(np.float32) / 255.0
+                with device_lock:
+                    hdr = predictor(rgb)
+                body = _encode_hdr(hdr)
+                stats.record(time.perf_counter() - t0, error=False)
+                self._reply(200, body, "image/vnd.radiance")
+            except Exception as e:  # noqa: BLE001 — map any failure to 400
+                stats.record(time.perf_counter() - t0, error=True)
+                self._reply(400, f"error: {e}".encode(), "text/plain")
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.stats = stats
+    return server

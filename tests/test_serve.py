@@ -1,0 +1,82 @@
+"""HTTP serving tests: drive the real server over a socket."""
+
+import io
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from singlehdr_tpu.data import hdr_io
+from singlehdr_tpu.inference import HdrPredictor
+from singlehdr_tpu.models import ReverseCameraPipeline
+from singlehdr_tpu.serve import make_server
+
+
+@pytest.fixture(scope="module")
+def server():
+    pipe = ReverseCameraPipeline()
+    variables = pipe.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    predictor = HdrPredictor(variables, bucket_multiple=64)
+    srv = make_server(predictor, "127.0.0.1", 0)  # ephemeral port
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _jpeg_bytes(rng, h=64, w=80):
+    import cv2
+
+    img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    assert ok
+    return buf.tobytes()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz") as r:
+        assert r.read() == b"ok"
+
+
+def test_predict_roundtrip(server, rng, tmp_path):
+    body = _jpeg_bytes(rng)
+    req = urllib.request.Request(server + "/predict", data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.status == 200
+        hdr_bytes = r.read()
+    # response is a parseable Radiance file with the request's geometry
+    path = tmp_path / "out.hdr"
+    path.write_bytes(hdr_bytes)
+    hdr = hdr_io.read_hdr(str(path))
+    assert hdr.shape == (64, 80, 3)
+    assert np.isfinite(hdr).all()
+
+
+def test_predict_bad_body_is_400(server):
+    req = urllib.request.Request(
+        server + "/predict", data=b"not an image", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 400
+
+
+def test_stats_counts(server, rng):
+    body = _jpeg_bytes(rng)
+    req = urllib.request.Request(server + "/predict", data=body, method="POST")
+    urllib.request.urlopen(req, timeout=600).read()
+    with urllib.request.urlopen(server + "/stats") as r:
+        stats = json.loads(r.read())
+    assert stats["requests"] >= 2
+    assert stats["errors"] >= 1  # the bad-body probe above
+
+
+def test_unknown_path_404(server):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(server + "/nope")
+    assert exc.value.code == 404
