@@ -89,6 +89,13 @@ class SynthBatchPipeline:
         self._loader.close()
 
 
+class _PrefetchError:
+    """Sentinel carrying a producer exception across the prefetch queue."""
+
+    def __init__(self, error: BaseException):
+        self.error = error
+
+
 class _Prefetcher:
     """Run a batch producer in a background thread, `depth` batches ahead.
 
@@ -106,19 +113,30 @@ class _Prefetcher:
 
         def loop():
             while not self._stop.is_set():
-                batch = produce()
+                try:
+                    batch = produce()
+                except Exception as e:  # surface producer failures to next()
+                    batch = _PrefetchError(e)
                 while not self._stop.is_set():
                     try:
                         self._q.put(batch, timeout=1.0)
                         break
                     except queue.Full:
                         continue
+                if isinstance(batch, _PrefetchError):
+                    return  # thread ends; the consumer re-raises
 
         self._thread = threading.Thread(target=loop, daemon=True, name="prefetch")
         self._thread.start()
 
     def next(self) -> dict:
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, _PrefetchError):
+            raise item.error
+        return item
+
+    def alive(self) -> bool:
+        return self._thread.is_alive()
 
     def close(self) -> None:
         self._stop.set()
@@ -167,10 +185,10 @@ def run_synth_training(
                 jax.profiler.start_trace(cfg.profile_dir)
             if cfg.profile_dir and it == start_step + cfg.profile_steps[1]:
                 jax.profiler.stop_trace()
-            batch = prefetcher.next()
-            if mesh is not None:
-                batch = shard_batch(mesh, batch)
             try:
+                batch = prefetcher.next()
+                if mesh is not None:
+                    batch = shard_batch(mesh, batch)
                 state, loss, aux = step_fn(state, *batch_to_args(batch))
                 jax.block_until_ready(loss)
                 recoveries = 0
@@ -186,6 +204,9 @@ def run_synth_training(
                 state = restored if mesh is None else replicate(mesh, restored)
                 it = int(state.step)
                 time.sleep(min(30.0, 5.0 * recoveries))
+                if not prefetcher.alive():  # producer died on the same failure
+                    prefetcher.close()
+                    prefetcher = _Prefetcher(pipeline.next_batch, cfg.prefetch)
                 continue
             it += 1
             step = int(state.step)
