@@ -18,8 +18,14 @@ from singlehdr_tpu.models.unet import ResidualUNet
 
 class DequantizationNet(nn.Module):
     dtype: Any = jnp.float32
+    fast_convs: bool = False  # inference-only Pallas strip convs
 
     @nn.compact
     def __call__(self, ldr: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        res = ResidualUNet(bottleneck_features=256, dtype=self.dtype, name="unet")(ldr)
+        res = ResidualUNet(
+            bottleneck_features=256,
+            dtype=self.dtype,
+            fast_convs=self.fast_convs,
+            name="unet",
+        )(ldr)
         return (ldr.astype(res.dtype) + jnp.tanh(res)).astype(jnp.float32)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -78,3 +79,55 @@ def batch_norm(train: bool, *, name: str | None = None) -> nn.BatchNorm:
 
 def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
     return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+
+
+class StripConv(nn.Module):
+    """Drop-in replacement for ``conv`` computed by the Pallas strip-conv
+    kernel (ops.pallas.strip_conv_pallas) — the inference fast path for the
+    MXU-underfilled small-channel stages (Cout <= 16 at high resolution).
+
+    Parameter names/shapes match nn.Conv exactly ('kernel' HWIO, 'bias'), so
+    checkpoints interchange freely with the dense path.  Forward-only: no
+    custom VJP — training must use the dense convs.  Falls back to XLA when
+    the static shape doesn't satisfy the kernel's strip constraint.
+    """
+
+    features: int
+    kernel: tuple
+    act: str | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from singlehdr_tpu.ops.pallas.strip_conv_pallas import (
+            strip_conv,
+            strip_conv_supported,
+        )
+
+        kernel = self.param(
+            "kernel",
+            glorot(),
+            (*self.kernel, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if jax.default_backend() == "tpu" and strip_conv_supported(
+            x.shape, self.features
+        ):
+            return strip_conv(
+                x.astype(self.dtype), kernel.astype(self.dtype), bias, act=self.act
+            )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(self.dtype)
+        if self.act == "leaky_relu":
+            return leaky_relu(y)
+        if self.act == "relu":
+            return nn.relu(y)
+        if self.act == "tanh":
+            return jnp.tanh(y)
+        return y

@@ -52,11 +52,16 @@ class ReverseCameraPipeline(nn.Module):
 
     use_refinement: bool = True
     dtype: Any = jnp.float32
+    fast_convs: bool = False  # inference-only Pallas strip convs in deq/ref
 
     @nn.compact
     def __call__(self, ldr: jnp.ndarray, train: bool = False) -> PipelineOutputs:
         c_pred = jnp.clip(
-            DequantizationNet(dtype=self.dtype, name="deq")(ldr, train), 0.0, 1.0
+            DequantizationNet(
+                dtype=self.dtype, fast_convs=self.fast_convs, name="deq"
+            )(ldr, train),
+            0.0,
+            1.0,
         )
         invcrf = LinearizationNet(dtype=self.dtype, name="lin")(c_pred, train)
         b_pred = apply_rf(c_pred, invcrf)
@@ -67,7 +72,9 @@ class ReverseCameraPipeline(nn.Module):
         a_pred = b_pred + alpha * residual
         if self.use_refinement:
             abc = jnp.concatenate([a_pred, b_pred, c_pred], axis=-1)
-            hdr = RefinementNet(dtype=self.dtype, name="ref")(abc, train)
+            hdr = RefinementNet(
+                dtype=self.dtype, fast_convs=self.fast_convs, name="ref"
+            )(abc, train)
         else:
             hdr = a_pred
         return PipelineOutputs(

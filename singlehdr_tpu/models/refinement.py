@@ -18,9 +18,15 @@ from singlehdr_tpu.models.unet import ResidualUNet
 
 class RefinementNet(nn.Module):
     dtype: Any = jnp.float32
+    fast_convs: bool = False  # inference-only Pallas strip convs
 
     @nn.compact
     def __call__(self, abc: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        res = ResidualUNet(bottleneck_features=128, dtype=self.dtype, name="unet")(abc)
+        res = ResidualUNet(
+            bottleneck_features=128,
+            dtype=self.dtype,
+            fast_convs=self.fast_convs,
+            name="unet",
+        )(abc)
         out = abc[..., 0:3].astype(res.dtype) + res
         return nn.relu(out).astype(jnp.float32)

@@ -18,7 +18,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from singlehdr_tpu.models.layers import conv, leaky_relu
+from singlehdr_tpu.models.layers import StripConv, conv, leaky_relu
 from singlehdr_tpu.ops.resize import avg_pool_2x2, resize_bilinear_x2
 
 
@@ -42,14 +42,23 @@ class UpStage(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    fast_convs: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
         x = resize_bilinear_x2(x)
-        x = leaky_relu(conv(self.features, 3, dtype=self.dtype, name="conv1")(x))
+        x = self._conv("conv1")(x)
         x = jnp.concatenate([x, skip], axis=-1)
-        x = leaky_relu(conv(self.features, 3, dtype=self.dtype, name="conv2")(x))
+        x = self._conv("conv2")(x)
         return x
+
+    def _conv(self, name: str):
+        if self.fast_convs and self.features <= 16:
+            return StripConv(
+                self.features, (3, 3), act="leaky_relu", dtype=self.dtype, name=name
+            )
+        mod = conv(self.features, 3, dtype=self.dtype, name=name)
+        return lambda x: leaky_relu(mod(x))
 
 
 class ResidualUNet(nn.Module):
@@ -65,12 +74,31 @@ class ResidualUNet(nn.Module):
     bottleneck_features: int = 256
     out_features: int = 3
     dtype: Any = jnp.float32
+    # inference-only Pallas strip-conv fast path for the Cout<=16 stages
+    # (stems, last up stage, head) — forward-only, never set while training
+    fast_convs: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        h = leaky_relu(conv(self.stem_features, self.stem_kernel, dtype=self.dtype, name="stem1")(x))
-        h = leaky_relu(conv(self.stem_features, self.stem_kernel, dtype=self.dtype, name="stem2")(h))
+        if self.fast_convs:
+            stem = lambda name: StripConv(
+                self.stem_features,
+                (self.stem_kernel, self.stem_kernel),
+                act="leaky_relu",
+                dtype=self.dtype,
+                name=name,
+            )
+            head = StripConv(self.out_features, (3, 3), dtype=self.dtype, name="head")
+        else:
+            stem = lambda name: (
+                lambda v, m=conv(
+                    self.stem_features, self.stem_kernel, dtype=self.dtype, name=name
+                ): leaky_relu(m(v))
+            )
+            head = conv(self.out_features, 3, dtype=self.dtype, name="head")
+        h = stem("stem1")(x)
+        h = stem("stem2")(h)
         skips = [h]
         for i, (f, k) in enumerate(zip(self.down_features, self.down_kernels)):
             h = DownStage(f, k, dtype=self.dtype, name=f"down{i + 2}")(h)
@@ -78,5 +106,8 @@ class ResidualUNet(nn.Module):
         h = DownStage(self.bottleneck_features, 3, dtype=self.dtype, name="bottleneck")(h)
         up_widths = [self.stem_features, *self.down_features][::-1]  # e.g. [128,64,32,16]
         for i, (f, skip) in enumerate(zip(up_widths, reversed(skips))):
-            h = UpStage(f, dtype=self.dtype, name=f"up{len(skips) - i}")(h, skip)
-        return conv(self.out_features, 3, dtype=self.dtype, name="head")(h)
+            h = UpStage(
+                f, dtype=self.dtype, fast_convs=self.fast_convs,
+                name=f"up{len(skips) - i}",
+            )(h, skip)
+        return head(h)
