@@ -27,9 +27,18 @@ from singlehdr_tpu.ops.tonemap import (
 )
 from singlehdr_tpu.ops.masks import highlight_alpha, exposure_loss_mask
 from singlehdr_tpu.ops.losses import (
+    hallucination_loss,
+    masked_l1,
     masked_l2,
-    tv_loss,
     perceptual_l1,
+    scalar_from_per_sample,
+    tv_loss,
+)
+from singlehdr_tpu.ops.degradation import (
+    CaptureSim,
+    jpeg_quality_ladder,
+    loss_mask_from_levels,
+    simulate_capture,
 )
 from singlehdr_tpu.ops.resize import resize_bilinear_x2, avg_pool_2x2, max_pool
 
@@ -50,9 +59,16 @@ __all__ = [
     "hdr_log_decompression",
     "highlight_alpha",
     "exposure_loss_mask",
+    "masked_l1",
     "masked_l2",
+    "hallucination_loss",
+    "scalar_from_per_sample",
     "tv_loss",
     "perceptual_l1",
+    "CaptureSim",
+    "jpeg_quality_ladder",
+    "loss_mask_from_levels",
+    "simulate_capture",
     "resize_bilinear_x2",
     "avg_pool_2x2",
     "max_pool",

@@ -95,7 +95,9 @@ class MetricsWriter:
     def __init__(self, logdir: str, use_tensorboard: bool = True):
         os.makedirs(logdir, exist_ok=True)
         self._tb = _TBWriter(logdir) if (_HAS_TB and use_tensorboard) else None
-        self._jsonl = open(os.path.join(logdir, "events.jsonl"), "a")
+        # line-buffered so live runs are observable (tail -f) without waiting
+        # for close()
+        self._jsonl = open(os.path.join(logdir, "events.jsonl"), "a", buffering=1)
 
     def scalar(self, tag: str, value, step: int) -> None:
         v = float(np.asarray(value).mean())
