@@ -212,9 +212,13 @@ def run_synth_training(
             step = int(state.step)
             tracker.update(float(loss))
             if step % cfg.log_every == 0 or step == 1:
+                step_time = time.perf_counter() - t0
                 writer.scalar(f"{module_name}/loss", tracker.result(), step)
-                writer.scalar(
-                    f"{module_name}/step_time_s", time.perf_counter() - t0, step
+                writer.scalar(f"{module_name}/step_time_s", step_time, step)
+                print(
+                    f"[{module_name}] step {step}  loss {tracker.result():.5f}  "
+                    f"({step_time:.2f}s/step)",
+                    flush=True,
                 )
                 tracker.reset()
             if step % cfg.image_log_every == 0 or step == 1:
@@ -261,8 +265,13 @@ def run_real_finetune(
                 ldr, hdr = shard_batch(mesh, (ldr, hdr))
             state, loss, aux = step_fn(state, jnp.asarray(ldr), jnp.asarray(hdr))
             tracker.update(float(aux["loss_ref"]))
+        epoch_time = time.perf_counter() - t0
         writer.scalar("ref/loss", tracker.result(), epoch)
-        writer.scalar("ref/epoch_time_s", time.perf_counter() - t0, epoch)
+        writer.scalar("ref/epoch_time_s", epoch_time, epoch)
+        print(
+            f"[ref] epoch {epoch}  loss {tracker.result():.5f}  ({epoch_time:.1f}s)",
+            flush=True,
+        )
         for tag in ("c_pred", "b_pred", "a_pred", "out"):
             if tag in aux:
                 writer.image(f"ref/{tag}", aux[tag], epoch)
