@@ -81,24 +81,8 @@ class ResidualUNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        if self.fast_convs:
-            stem = lambda name: StripConv(
-                self.stem_features,
-                (self.stem_kernel, self.stem_kernel),
-                act="leaky_relu",
-                dtype=self.dtype,
-                name=name,
-            )
-            head = StripConv(self.out_features, (3, 3), dtype=self.dtype, name="head")
-        else:
-            stem = lambda name: (
-                lambda v, m=conv(
-                    self.stem_features, self.stem_kernel, dtype=self.dtype, name=name
-                ): leaky_relu(m(v))
-            )
-            head = conv(self.out_features, 3, dtype=self.dtype, name="head")
-        h = stem("stem1")(x)
-        h = stem("stem2")(h)
+        h = self._stem("stem1")(x)
+        h = self._stem("stem2")(h)
         skips = [h]
         for i, (f, k) in enumerate(zip(self.down_features, self.down_kernels)):
             h = DownStage(f, k, dtype=self.dtype, name=f"down{i + 2}")(h)
@@ -110,4 +94,23 @@ class ResidualUNet(nn.Module):
                 f, dtype=self.dtype, fast_convs=self.fast_convs,
                 name=f"up{len(skips) - i}",
             )(h, skip)
-        return head(h)
+        return self._head()(h)
+
+    def _stem(self, name: str):
+        """Stem conv + leaky ReLU; strip-conv kernel on the fast path."""
+        if self.fast_convs:
+            return StripConv(
+                self.stem_features,
+                (self.stem_kernel, self.stem_kernel),
+                act="leaky_relu",
+                dtype=self.dtype,
+                name=name,
+            )
+        mod = conv(self.stem_features, self.stem_kernel, dtype=self.dtype, name=name)
+        return lambda v: leaky_relu(mod(v))
+
+    def _head(self):
+        """Raw 3-channel output conv (activation belongs to the wrappers)."""
+        if self.fast_convs:
+            return StripConv(self.out_features, (3, 3), dtype=self.dtype, name="head")
+        return conv(self.out_features, 3, dtype=self.dtype, name="head")
