@@ -33,6 +33,41 @@ from singlehdr_tpu.train.state import NetState
 # periodically); anything else propagates immediately.
 _TRANSIENT_ERRORS = (jax.errors.JaxRuntimeError,)
 _MAX_RECOVERIES = 3
+# A blocked device call can't be interrupted from Python; the watchdog at
+# least makes the stall visible instead of a silent hang.
+_WATCHDOG_SECS = 300.0
+
+
+class _StepWatchdog:
+    """Prints a warning if a step hasn't completed within the deadline."""
+
+    def __init__(self, seconds: float = _WATCHDOG_SECS):
+        import threading
+
+        self._seconds = seconds
+        self._timer: "threading.Timer | None" = None
+        self._threading = threading
+
+    def arm(self, step: int) -> None:
+        self.disarm()
+        t = self._threading.Timer(
+            self._seconds,
+            lambda: print(
+                f"[watchdog] step {step} has been running >"
+                f"{self._seconds:.0f}s — device or tunnel may be unresponsive; "
+                "the run will resume from the last checkpoint if the device "
+                "errors out",
+                flush=True,
+            ),
+        )
+        t.daemon = True
+        t.start()
+        self._timer = t
+
+    def disarm(self) -> None:
+        if self._timer is not None:
+            self._timer.cancel()
+            self._timer = None
 
 
 @dataclasses.dataclass
@@ -176,6 +211,7 @@ def run_synth_training(
     prefetcher = _Prefetcher(pipeline.next_batch, cfg.prefetch)
     tracker = Mean(f"loss_{module_name}")
     spec = StateSpec(state)
+    watchdog = _StepWatchdog()
     recoveries = 0
     try:
         it = start_step
@@ -186,13 +222,16 @@ def run_synth_training(
             if cfg.profile_dir and it == start_step + cfg.profile_steps[1]:
                 jax.profiler.stop_trace()
             try:
+                watchdog.arm(it)
                 batch = prefetcher.next()
                 if mesh is not None:
                     batch = shard_batch(mesh, batch)
                 state, loss, aux = step_fn(state, *batch_to_args(batch))
                 jax.block_until_ready(loss)
+                watchdog.disarm()
                 recoveries = 0
             except _TRANSIENT_ERRORS:
+                watchdog.disarm()
                 # the step's donated buffers are gone; rebuild from the last
                 # checkpoint (elastic restart-from-checkpoint, SURVEY.md §5)
                 recoveries += 1
@@ -230,6 +269,7 @@ def run_synth_training(
                 mgr.save(state)
         return state
     finally:
+        watchdog.disarm()
         prefetcher.close()
         pipeline.close()
         mgr.wait()
