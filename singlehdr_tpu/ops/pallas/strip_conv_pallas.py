@@ -172,7 +172,8 @@ def strip_conv(
         interpret=interpret,
     )(strips, ws, bias)
 
-    # [B*n_strips, rows*Cout_p, w_out] -> [B, H, W, Cout]
+    # [B*n_strips, rows*Cout_p, w_out] -> [B, H, W, Cout], in the caller's
+    # dtype so downstream stages keep their bf16 HBM footprint
     out = out[:, :, :w_in].reshape(bsz, n_strips, rows, cout_p, w_in)
     out = jnp.transpose(out, (0, 1, 2, 4, 3)).reshape(bsz, h, w_in, cout_p)
-    return out[..., :cout]
+    return out[..., :cout].astype(dtype)
