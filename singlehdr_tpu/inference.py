@@ -71,21 +71,56 @@ class HdrPredictor:
         self._pipe = ReverseCameraPipeline(use_refinement=self.use_refinement)
         self._fwd = jax.jit(lambda v, x: self._pipe.apply(v, x).hdr)
 
-    def __call__(self, rgb01: np.ndarray) -> np.ndarray:
-        """[h,w,3] float32 RGB in [0,1] -> [h,w,3] float32 HDR (RGB)."""
+    def bucket_key(self, shape) -> Tuple[int, int]:
+        """The padded (h, w) bucket an input shape compiles under."""
+        return (
+            _ceil_to(shape[0], self.bucket_multiple),
+            _ceil_to(shape[1], self.bucket_multiple),
+        )
+
+    def _prepare(self, rgb01: np.ndarray) -> np.ndarray:
+        """Resize to the bucket and apply the symmetric halo pad."""
         oh, ow = rgb01.shape[:2]
-        rh, rw = _ceil_to(oh, self.bucket_multiple), _ceil_to(ow, self.bucket_multiple)
+        rh, rw = self.bucket_key(rgb01.shape)
         x = rgb01
         if (rh, rw) != (oh, ow):
             if not _HAS_CV2:
                 raise RuntimeError("cv2 required for non-multiple-of-64 inputs")
             x = cv2.resize(x, (rw, rh), interpolation=cv2.INTER_CUBIC)
-        x = np.pad(
+        return np.pad(
             x, ((self.pad, self.pad), (self.pad, self.pad), (0, 0)), mode="symmetric"
         )
-        out = self._fwd(self.variables, jnp.asarray(x, jnp.float32)[None])
-        out = np.asarray(out[0])
+
+    def _finish(self, out: np.ndarray, orig_hw) -> np.ndarray:
         out = out[self.pad : -self.pad, self.pad : -self.pad]
-        if (rh, rw) != (oh, ow):
+        oh, ow = orig_hw
+        if out.shape[:2] != (oh, ow):
             out = cv2.resize(out, (ow, oh), interpolation=cv2.INTER_CUBIC)
         return out
+
+    def __call__(self, rgb01: np.ndarray) -> np.ndarray:
+        """[h,w,3] float32 RGB in [0,1] -> [h,w,3] float32 HDR (RGB)."""
+        return self.predict_batch([rgb01])[0]
+
+    def predict_batch(self, images) -> list:
+        """Run same-bucket images as one device batch.
+
+        Batch sizes pad up to powers of two (repeating the last image) so the
+        number of compiled executables stays O(shapes x log(max batch)).
+        """
+        keys = {self.bucket_key(im.shape) for im in images}
+        if len(keys) != 1:
+            raise ValueError(f"predict_batch requires one bucket, got {keys}")
+        stacked = np.stack([self._prepare(im) for im in images])
+        n = stacked.shape[0]
+        n_pad = 1
+        while n_pad < n:
+            n_pad *= 2
+        if n_pad != n:
+            stacked = np.concatenate(
+                [stacked, np.repeat(stacked[-1:], n_pad - n, axis=0)]
+            )
+        out = np.asarray(self._fwd(self.variables, jnp.asarray(stacked, jnp.float32)))
+        return [
+            self._finish(out[i], im.shape[:2]) for i, im in enumerate(images)
+        ]

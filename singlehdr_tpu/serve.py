@@ -1,13 +1,16 @@
 """HTTP inference server: LDR images in, Radiance HDR out.
 
 A dependency-free serving path (stdlib http.server) for the full 4-net
-pipeline.  Requests are decoded on pool threads; device execution is
-serialized through the predictor (single-chip) with shape-bucketed compiled
-programs, so mixed-size traffic reuses a small set of XLA executables.
+pipeline.  Requests are decoded on pool threads; device execution goes
+through a micro-batcher: concurrent requests whose images round to the same
+padded bucket are stacked into one device batch (batch-64 runs ~30% more
+images/sec than batch-16 on v5e — BENCH_NOTES.md), with a short gather window
+so a lone request is never held long.  Shape-bucketed compiled programs keep
+mixed-size traffic on a small set of XLA executables.
 
   POST /predict      body: JPEG/PNG bytes -> 200, body: Radiance .hdr bytes
   GET  /healthz      -> 200 "ok"
-  GET  /stats        -> JSON request counters/latencies
+  GET  /stats        -> JSON request counters/latencies/batching
 
 Run:  python -m singlehdr_tpu.cli.serve --port 8080 --ref_ckpt ...
 """
@@ -16,8 +19,10 @@ from __future__ import annotations
 
 import io
 import json
+import queue
 import threading
 import time
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -39,12 +44,19 @@ class _Stats:
         self.requests = 0
         self.errors = 0
         self.total_latency = 0.0
+        self.device_batches = 0
+        self.max_batch = 0
 
     def record(self, latency: float, error: bool) -> None:
         with self.lock:
             self.requests += 1
             self.errors += int(error)
             self.total_latency += latency
+
+    def record_batch(self, size: int) -> None:
+        with self.lock:
+            self.device_batches += 1
+            self.max_batch = max(self.max_batch, size)
 
     def snapshot(self) -> dict:
         with self.lock:
@@ -53,7 +65,70 @@ class _Stats:
                 "requests": self.requests,
                 "errors": self.errors,
                 "mean_latency_s": round(mean, 4),
+                "device_batches": self.device_batches,
+                "max_batch": self.max_batch,
             }
+
+
+class MicroBatcher:
+    """Groups concurrent same-bucket requests into one device batch.
+
+    One worker thread drains a queue: it takes the oldest request, waits up to
+    ``window_s`` for more requests of the same padded shape (up to
+    ``max_batch``; batch sizes are padded to powers of two so compiled
+    executables stay few), runs them as a single batched forward, and resolves
+    each request's Future.  Mixed-shape traffic simply forms separate batches.
+    """
+
+    def __init__(
+        self,
+        predictor: HdrPredictor,
+        stats: _Stats,
+        max_batch: int = 8,
+        window_s: float = 0.01,
+    ):
+        self._predictor = predictor
+        self._stats = stats
+        self._max_batch = max_batch
+        self._window = window_s
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="batcher")
+        self._thread.start()
+
+    def predict(self, rgb01: np.ndarray) -> np.ndarray:
+        fut: "Future[np.ndarray]" = Future()
+        self._q.put((self._predictor.bucket_key(rgb01.shape), rgb01, fut))
+        return fut.result()
+
+    def _loop(self) -> None:
+        while True:
+            key, img, fut = self._q.get()
+            group = [(img, fut)]
+            deadline = time.perf_counter() + self._window
+            leftovers = []
+            while len(group) < self._max_batch:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    k2, im2, f2 = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if k2 == key:
+                    group.append((im2, f2))
+                else:
+                    leftovers.append((k2, im2, f2))
+            for item in leftovers:  # different bucket: next round
+                self._q.put(item)
+            self._stats.record_batch(len(group))
+            try:
+                outs = self._predictor.predict_batch([im for im, _ in group])
+                for (_, f), out in zip(group, outs):
+                    f.set_result(out)
+            except Exception as e:  # noqa: BLE001 — fail the whole group
+                for _, f in group:
+                    if not f.done():
+                        f.set_exception(e)
 
 
 def _decode_ldr(body: bytes) -> np.ndarray:
@@ -79,10 +154,18 @@ def _encode_hdr(hdr_rgb: np.ndarray) -> bytes:
     return header + data.tobytes()
 
 
-def make_server(predictor: HdrPredictor, host: str = "127.0.0.1", port: int = 8080):
+def make_server(
+    predictor: HdrPredictor,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    max_batch: int = 8,
+    batch_window_s: float = 0.01,
+):
     """Build (not start) the HTTP server around a predictor."""
     stats = _Stats()
-    device_lock = threading.Lock()  # one chip; serialize device work
+    batcher = MicroBatcher(
+        predictor, stats, max_batch=max_batch, window_s=batch_window_s
+    )
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
@@ -115,8 +198,7 @@ def make_server(predictor: HdrPredictor, host: str = "127.0.0.1", port: int = 80
                 if length <= 0 or length > 256 << 20:
                     raise ValueError("missing or oversized body")
                 rgb = _decode_ldr(self.rfile.read(length)).astype(np.float32) / 255.0
-                with device_lock:
-                    hdr = predictor(rgb)
+                hdr = batcher.predict(rgb)
                 body = _encode_hdr(hdr)
                 stats.record(time.perf_counter() - t0, error=False)
                 self._reply(200, body, "image/vnd.radiance")

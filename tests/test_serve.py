@@ -80,3 +80,25 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(server + "/nope")
     assert exc.value.code == 404
+
+
+def test_concurrent_requests_micro_batch(server, rng):
+    """Parallel same-size requests must all succeed and coalesce into device
+    batches (stats expose the largest batch observed)."""
+    import concurrent.futures
+
+    body = _jpeg_bytes(rng, h=64, w=64)
+
+    def post():
+        req = urllib.request.Request(server + "/predict", data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, len(r.read())
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(pool.map(lambda _: post(), range(6)))
+    assert all(code == 200 and n > 0 for code, n in results)
+
+    with urllib.request.urlopen(server + "/stats") as r:
+        stats = json.loads(r.read())
+    assert stats["device_batches"] >= 1
+    assert stats["max_batch"] >= 1  # >1 when requests landed within the window
