@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lin_ckpt", type=str, default=os.path.join(cwd, "checkpoints/lin"))
     p.add_argument("--hal_ckpt", type=str, default=os.path.join(cwd, "checkpoints/hal"))
     p.add_argument("--ref_ckpt", type=str, default=os.path.join(cwd, "checkpoints/ref"))
+    p.add_argument("--weights", type=str, default=None,
+                   help="consolidated .npz weights (overrides per-net ckpt dirs)")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--max_batches", type=int, default=0, help="0 = full set")
     return p

@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hal_ckpt", type=str, default=os.path.join(cwd, "checkpoints/hal"))
     p.add_argument("--ref_ckpt", type=str, default=os.path.join(cwd, "checkpoints/ref"))
     p.add_argument("--bucket", type=int, default=64, help="pad sizes to this multiple")
+    p.add_argument("--weights", type=str, default=None,
+                   help="consolidated .npz weights (overrides per-net ckpt dirs)")
     p.add_argument("--tiled", action="store_true",
                    help="constant-shape tiled inference for very large images")
     p.add_argument("--tile", type=int, default=512)
@@ -47,7 +49,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def load_pipeline_variables(args) -> dict:
-    """Initialize the composite and graft whatever checkpoints exist."""
+    """Initialize the composite and graft whatever checkpoints exist.
+
+    With ``--weights`` set, loads the consolidated .npz artifact instead
+    (see cli.export_weights)."""
+    if getattr(args, "weights", None):
+        from singlehdr_tpu.train.weight_import import load_variables_npz
+
+        return load_variables_npz(args.weights)
     sample = jnp.zeros((1, 64, 64, 3), jnp.float32)  # init shape-agnostic
     modules = {
         "deq": DequantizationNet(),

@@ -25,6 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lin_ckpt", type=str, default=os.path.join(cwd, "checkpoints/lin"))
     p.add_argument("--hal_ckpt", type=str, default=os.path.join(cwd, "checkpoints/hal"))
     p.add_argument("--ref_ckpt", type=str, default=os.path.join(cwd, "checkpoints/ref"))
+    p.add_argument("--weights", type=str, default=None,
+                   help="consolidated .npz weights (overrides per-net ckpt dirs)")
     p.add_argument("--bucket", type=int, default=64,
                    help="pad request sizes to this multiple (bounds compiles)")
     return p

@@ -173,6 +173,48 @@ def reference_keys_to_tree(
     return out
 
 
+# ---------------------------------------------------------------------------
+# consolidated deployment weights: one flat .npz for the whole pipeline
+# ---------------------------------------------------------------------------
+
+
+def _flatten_tree(tree: Mapping[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
+        if isinstance(v, Mapping):
+            out.update(_flatten_tree(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def save_variables_npz(variables: Mapping[str, Any], path: str) -> int:
+    """Write {params, batch_stats} as one flat compressed npz.
+
+    Keys are collection-prefixed slash paths (``params/deq/unet/stem1/kernel``),
+    portable across machines without orbax/sharding metadata — the deployment
+    artifact for inference and serving.
+    """
+    flat = {}
+    for collection in ("params", "batch_stats"):
+        flat.update(
+            _flatten_tree(variables.get(collection, {}), collection)
+        )
+    np.savez_compressed(path, **flat)
+    return len(flat)
+
+
+def load_variables_npz(path: str) -> Dict[str, Any]:
+    """Inverse of save_variables_npz -> {"params": ..., "batch_stats": ...}."""
+    z = np.load(path)
+    out: Dict[str, Any] = {"params": {}, "batch_stats": {}}
+    for key in z.files:
+        collection, _, rest = key.partition("/")
+        _set_path(out[collection], tuple(rest.split("/")), z[key])
+    return out
+
+
 def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Read {key: array} from an .npz dump or a TF checkpoint prefix."""
     if path.endswith(".npz"):
