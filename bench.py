@@ -5,15 +5,24 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
 ``vs_baseline`` compares against the reference stack's throughput proxy: the
-same 4-net pipeline executed on the host CPU (the reference's TF2 code path
+same workload executed on the host CPU (the reference's TF2 code path
 publishes no numbers — SURVEY.md §6 — and its GPU is absent here; the
-BASELINE.json north star is stated vs TF2-CPU).  The CPU proxy was measured
+BASELINE.json north star is stated vs TF2-CPU).  The CPU proxies were measured
 once on this machine with this framework's own CPU backend (see
-CPU_BASELINE_IMG_S below) to avoid re-burning bench time every round.
+tools/measure_cpu_baseline.py) to avoid re-burning bench time every round.
+
+Modes:
+  (default)   inference forward, batch 64 @ 512^2 — the headline number
+  --train     joint deq+lin+hal train step, reference config batch 16 @ 256^2
+              with full losses incl. VGG perceptual (joint_training.py:20-22);
+              covers the north star's "≥5x TF2-CPU on joint training" clause.
+              Reports MFU (XLA-counted FLOPs / step time / chip peak) to
+              stderr.
 
 Everything non-headline goes to stderr.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -25,9 +34,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Measured 2026-08-16 on this host: full 4-net pipeline forward, 512x512,
-# batch 1, jax CPU backend (see tools/measure_cpu_baseline.py).
+# Measured 2026-08-16 on this host (tools/measure_cpu_baseline.py):
+# forward: full 4-net pipeline, 512x512, batch 1, jax CPU backend.
 CPU_BASELINE_IMG_S = 0.174
+# joint train: deq+lin+hal step, batch 16 @ 256^2, full losses, jax CPU
+# (153.9 s/step measured 2026-08-16).
+CPU_BASELINE_TRAIN_IMG_S = 0.104
 
 BATCH = 64     # best measured throughput config on v5e (96+ OOMs at compile)
 SIZE = 512
@@ -37,12 +49,31 @@ ITERS = 8
 # ~64 dB PSNR at 512^2 — negligible against the 0.1 dB parity budget.
 DTYPE = "bfloat16"
 
+TRAIN_BATCH = 16   # reference joint config (joint_training.py:20-22)
+TRAIN_SIZE = 256
+TRAIN_ITERS = 10
+# v5e (TPU v5 lite) peak dense bf16 matmul throughput, per chip.
+PEAK_BF16_TFLOPS = 197.0
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def _emit(metric, img_s, baseline):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(img_s, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_s / baseline, 2),
+            }
+        )
+    )
+
+
+def bench_forward():
     from singlehdr_tpu.models import ReverseCameraPipeline
 
     log("devices:", jax.devices())
@@ -70,18 +101,84 @@ def main():
     dt = time.time() - t0
     img_s = BATCH * ITERS / dt
     log(f"{img_s:.2f} img/s  ({dt / ITERS * 1000:.1f} ms/batch of {BATCH})")
+    _emit(
+        "HDR-Real 512x512 images/sec/chip (full 4-net pipeline)",
+        img_s,
+        CPU_BASELINE_IMG_S,
+    )
 
-    print(
-        json.dumps(
-            {
-                "metric": "HDR-Real 512x512 images/sec/chip (full 4-net pipeline)",
-                "value": round(img_s, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(img_s / CPU_BASELINE_IMG_S, 2),
-            }
-        )
+
+def bench_train():
+    from singlehdr_tpu.models import (
+        DequantizationNet,
+        HallucinationNet,
+        LinearizationNet,
+        Vgg16Features,
+    )
+    from singlehdr_tpu.train.state import init_multi_state
+    from singlehdr_tpu.train.steps import make_joint_train_step
+
+    log("devices:", jax.devices())
+    b, s = TRAIN_BATCH, TRAIN_SIZE
+    rng = np.random.RandomState(0)
+    ldr = jnp.asarray(rng.rand(b, s, s, 3), jnp.float32)
+    args = (
+        ldr,
+        jnp.clip(ldr + 0.02, 0, 1),                                # jpeg
+        jnp.asarray(rng.rand(b, s, s, 3), jnp.float32),            # clipped_hdr_t
+        jnp.asarray(rng.rand(b, s, s, 3), jnp.float32) * 2.0,      # hdr_t
+        jnp.ones((b, 1, 1, 1), jnp.float32),                       # mask
+        jnp.tile(jnp.linspace(0, 1, 1024, dtype=jnp.float32), (b, 1)),
+    )
+    modules = {
+        "deq": DequantizationNet(dtype=jnp.dtype(DTYPE)),
+        "lin": LinearizationNet(dtype=jnp.dtype(DTYPE)),
+        "hal": HallucinationNet(dtype=jnp.dtype(DTYPE)),
+    }
+    samples = {"deq": ldr, "lin": ldr, "hal": ldr}
+    t0 = time.time()
+    state = init_multi_state(modules, samples, jax.random.PRNGKey(0), 1e-5)
+    jax.block_until_ready(state.params)
+    log(f"init: {time.time() - t0:.1f}s")
+    step = make_joint_train_step(Vgg16Features(), dtype=jnp.dtype(DTYPE))
+
+    flops = None
+    try:
+        lowered = step.lower(state, *args)
+        cost = lowered.compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:  # cost analysis is best-effort across backends
+        log(f"cost_analysis unavailable: {e}")
+
+    t0 = time.time()
+    state, loss, _ = step(state, *args)
+    jax.block_until_ready(loss)
+    log(f"compile+first: {time.time() - t0:.1f}s  loss={float(loss):.4f}")
+
+    for _ in range(WARMUP):
+        state, loss, _ = step(state, *args)
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for _ in range(TRAIN_ITERS):
+        state, loss, _ = step(state, *args)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    step_s = dt / TRAIN_ITERS
+    img_s = b / step_s
+    log(f"{img_s:.2f} img/s  ({step_s * 1000:.1f} ms/step of {b})")
+    if flops:
+        mfu = flops / step_s / (PEAK_BF16_TFLOPS * 1e12)
+        log(f"XLA-counted flops/step: {flops / 1e12:.2f} TF  MFU: {mfu * 100:.1f}%")
+    _emit(
+        "joint deq+lin+hal training images/sec/chip (batch 16 @ 256^2, full losses)",
+        img_s,
+        CPU_BASELINE_TRAIN_IMG_S,
     )
 
 
 if __name__ == "__main__":
-    main()
+    p = argparse.ArgumentParser()
+    p.add_argument("--train", action="store_true")
+    a = p.parse_args()
+    bench_train() if a.train else bench_forward()

@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="consolidated .npz weights (overrides per-net ckpt dirs)")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--max_batches", type=int, default=0, help="0 = full set")
+    p.add_argument(
+        "--linear_peak", type=float, default=1.0,
+        help="fixed peak for linear-domain PSNR; both pred and gt are mean-0.5 "
+        "renormalized, so any fixed constant gives run-comparable numbers "
+        "(a per-batch gt.max() would make the metric depend on batch composition)",
+    )
     return p
 
 
@@ -63,7 +69,7 @@ def run(args) -> dict:
         pred = predict(jnp.asarray(ldr))
         gt = jnp.asarray(hdr)
         pred_mu, gt_mu = mu_tonemap(pred), mu_tonemap(gt)
-        m_psnr_lin.update(float(psnr(pred, gt, max_val=float(gt.max()))))
+        m_psnr_lin.update(float(psnr(pred, gt, max_val=args.linear_peak)))
         m_psnr_mu.update(float(psnr(pred_mu, gt_mu)))
         m_ssim_mu.update(float(ssim(pred_mu, gt_mu)))
     results = {

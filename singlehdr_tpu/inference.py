@@ -70,6 +70,8 @@ class HdrPredictor:
     def __post_init__(self):
         self._pipe = ReverseCameraPipeline(use_refinement=self.use_refinement)
         self._fwd = jax.jit(lambda v, x: self._pipe.apply(v, x).hdr)
+        # per padded-(h,w) bucket: batch sizes already compiled ("warm")
+        self._warm: dict = {}
 
     def bucket_key(self, shape) -> Tuple[int, int]:
         """The padded (h, w) bucket an input shape compiles under."""
@@ -105,22 +107,25 @@ class HdrPredictor:
     def predict_batch(self, images) -> list:
         """Run same-bucket images as one device batch.
 
-        Batch sizes pad up to powers of two (repeating the last image) so the
-        number of compiled executables stays O(shapes x log(max batch)).
+        A group reuses the smallest already-compiled ("warm") batch size that
+        fits, repeat-padding up to it — wasted compute is bounded by the gap
+        to the nearest warm executable, never a blanket 2x.  A cold group runs
+        at its exact size (one compile, then warm), so the executable count
+        stays O(shapes x distinct group sizes) without power-of-two padding.
         """
         keys = {self.bucket_key(im.shape) for im in images}
         if len(keys) != 1:
             raise ValueError(f"predict_batch requires one bucket, got {keys}")
         stacked = np.stack([self._prepare(im) for im in images])
         n = stacked.shape[0]
-        n_pad = 1
-        while n_pad < n:
-            n_pad *= 2
-        if n_pad != n:
+        warm = self._warm.setdefault(keys.pop(), set())
+        n_run = min((m for m in warm if m >= n), default=n)
+        if n_run != n:
             stacked = np.concatenate(
-                [stacked, np.repeat(stacked[-1:], n_pad - n, axis=0)]
+                [stacked, np.repeat(stacked[-1:], n_run - n, axis=0)]
             )
         out = np.asarray(self._fwd(self.variables, jnp.asarray(stacked, jnp.float32)))
+        warm.add(n_run)
         return [
             self._finish(out[i], im.shape[:2]) for i, im in enumerate(images)
         ]

@@ -19,9 +19,9 @@ from __future__ import annotations
 
 import io
 import json
-import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -73,11 +73,13 @@ class _Stats:
 class MicroBatcher:
     """Groups concurrent same-bucket requests into one device batch.
 
-    One worker thread drains a queue: it takes the oldest request, waits up to
-    ``window_s`` for more requests of the same padded shape (up to
-    ``max_batch``; batch sizes are padded to powers of two so compiled
-    executables stay few), runs them as a single batched forward, and resolves
-    each request's Future.  Mixed-shape traffic simply forms separate batches.
+    Requests land in per-bucket FIFO queues stamped with a global arrival
+    sequence number.  One worker thread repeatedly serves the bucket whose
+    head request is oldest — strict arrival-order fairness across buckets, so
+    sustained traffic on one shape can never starve another.  Within the
+    chosen bucket it waits up to ``window_s`` for more same-bucket requests
+    (up to ``max_batch``) before running them as a single batched forward and
+    resolving each request's Future.
     """
 
     def __init__(
@@ -91,42 +93,60 @@ class MicroBatcher:
         self._stats = stats
         self._max_batch = max_batch
         self._window = window_s
-        self._q: "queue.Queue" = queue.Queue()
+        self._cv = threading.Condition()
+        self._pending: "dict[tuple, deque]" = {}
+        self._seq = 0
         self._thread = threading.Thread(target=self._loop, daemon=True, name="batcher")
         self._thread.start()
 
     def predict(self, rgb01: np.ndarray) -> np.ndarray:
         fut: "Future[np.ndarray]" = Future()
-        self._q.put((self._predictor.bucket_key(rgb01.shape), rgb01, fut))
+        key = self._predictor.bucket_key(rgb01.shape)
+        with self._cv:
+            self._pending.setdefault(key, deque()).append((self._seq, rgb01, fut))
+            self._seq += 1
+            self._cv.notify()
         return fut.result()
+
+    def _oldest_bucket(self):
+        """Key of the non-empty bucket whose head arrived first (or None)."""
+        best_key, best_seq = None, None
+        for k, d in self._pending.items():
+            if d and (best_seq is None or d[0][0] < best_seq):
+                best_key, best_seq = k, d[0][0]
+        return best_key
 
     def _loop(self) -> None:
         while True:
-            key, img, fut = self._q.get()
-            group = [(img, fut)]
+            with self._cv:
+                key = self._oldest_bucket()
+                while key is None:
+                    self._cv.wait()
+                    key = self._oldest_bucket()
+                group = []
+                d = self._pending[key]
+                while d and len(group) < self._max_batch:
+                    group.append(d.popleft())
+            # gather window: same-bucket requests arriving within window_s
             deadline = time.perf_counter() + self._window
-            leftovers = []
             while len(group) < self._max_batch:
                 timeout = deadline - time.perf_counter()
                 if timeout <= 0:
                     break
-                try:
-                    k2, im2, f2 = self._q.get(timeout=timeout)
-                except queue.Empty:
-                    break
-                if k2 == key:
-                    group.append((im2, f2))
-                else:
-                    leftovers.append((k2, im2, f2))
-            for item in leftovers:  # different bucket: next round
-                self._q.put(item)
+                with self._cv:
+                    d = self._pending.get(key)
+                    if not d:
+                        self._cv.wait(timeout)
+                        d = self._pending.get(key)
+                    while d and len(group) < self._max_batch:
+                        group.append(d.popleft())
             self._stats.record_batch(len(group))
             try:
-                outs = self._predictor.predict_batch([im for im, _ in group])
-                for (_, f), out in zip(group, outs):
+                outs = self._predictor.predict_batch([im for _, im, _ in group])
+                for (_, _, f), out in zip(group, outs):
                     f.set_result(out)
             except Exception as e:  # noqa: BLE001 — fail the whole group
-                for _, f in group:
+                for _, _, f in group:
                     if not f.done():
                         f.set_exception(e)
 

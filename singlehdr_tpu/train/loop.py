@@ -296,12 +296,30 @@ def run_real_finetune(
     if mesh is not None:
         state = replicate(mesh, state)
     tracker = Mean("loss_ref")
+    full_bs = None
     for epoch in range(1, epochs + 1):
         t0 = time.perf_counter()
         tracker.reset()
         aux = {}
         for ldr, hdr in pipeline.epoch():
-            if mesh is not None and ldr.shape[0] % mesh.shape["data"] == 0:
+            if full_bs is None:
+                full_bs = int(ldr.shape[0])
+            if mesh is not None:
+                # Mesh-safe tail batch: pad short batches up to the full batch
+                # size by repeating trailing samples so every step takes the
+                # sharded path with one compiled shape (a short unsharded
+                # batch against mesh-replicated state would force a recompile
+                # and a slow mixed-layout step).  The repeats slightly
+                # overweight the tail samples once per epoch — preferable to
+                # dropping them (the reference trains on tail batches too:
+                # finetune_real_dataset.py:63-74 batches without
+                # drop_remainder).
+                n_data = mesh.shape["data"]
+                target = -(-full_bs // n_data) * n_data  # divisible by the axis
+                short = target - int(ldr.shape[0])
+                if short > 0:
+                    ldr = np.concatenate([ldr, np.repeat(ldr[-1:], short, axis=0)])
+                    hdr = np.concatenate([hdr, np.repeat(hdr[-1:], short, axis=0)])
                 ldr, hdr = shard_batch(mesh, (ldr, hdr))
             state, loss, aux = step_fn(state, jnp.asarray(ldr), jnp.asarray(hdr))
             tracker.update(float(aux["loss_ref"]))

@@ -81,3 +81,56 @@ def test_exposure_ladder():
     np.testing.assert_allclose(t[-1], 8.0, atol=1e-6)
     np.testing.assert_allclose(t[3], 1.0, atol=1e-6)
     assert get_exposure_ladder(600).shape == (600,)
+
+
+def _write_dorf_fixture(path, n_curves=12, samples=1024, seed=7):
+    """Emit a dorfCurves.txt in the real 6-line record layout:
+    name / type / 'I =' / irradiance values / 'B =' / brightness values
+    (the reference reads line idx+5 of each record, dataset.py:28)."""
+    rng = np.random.RandomState(seed)
+    grid = np.linspace(0.0, 1.0, samples)
+    lines = []
+    for i in range(n_curves):
+        gamma = rng.uniform(0.4, 2.5)
+        b = grid ** gamma
+        lines += [
+            f"fixture-curve-{i:03d}",
+            "synthetic gamma response",
+            "I =",
+            " ".join(f"{v:.6e}" for v in grid),
+            "B =",
+            " ".join(f"{v:.6e}" for v in b),
+        ]
+    path.write_text("\n".join(lines) + "\n")
+    return n_curves, samples
+
+
+def test_parse_dorf_text_fixture(tmp_path):
+    from singlehdr_tpu.calib.crf import _parse_dorf_text
+
+    fp = tmp_path / "dorfCurves.txt"
+    n, s = _write_dorf_fixture(fp)
+    curves = _parse_dorf_text(str(fp))
+    assert curves.shape == (n, s)
+    assert curves.dtype == np.float32
+    # parsed rows are the brightness (monotone) lines, not irradiance headers
+    assert np.all(np.diff(curves, axis=-1) >= -1e-6)
+    np.testing.assert_allclose(curves[:, 0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(curves[:, -1], 1.0, atol=1e-5)
+
+
+def test_crf_bank_from_dorf_file(tmp_path):
+    """get_crf_bank(dorf_path) must split with RandomState(730) and hold out
+    the last 10 shuffled curves, exactly like dataset.py:30-33."""
+    fp = tmp_path / "dorfCurves.txt"
+    n, _ = _write_dorf_fixture(fp)
+    bank = get_crf_bank(str(fp))
+    assert bank.test_crf.shape == (10, 1024)
+    assert bank.train_crf.shape == (n - 10, 1024)
+
+    from singlehdr_tpu.calib.crf import _parse_dorf_text
+
+    expected = _parse_dorf_text(str(fp)).copy()
+    np.random.RandomState(730).shuffle(expected)
+    np.testing.assert_array_equal(bank.test_crf, expected[-10:])
+    np.testing.assert_array_equal(bank.train_crf, expected[:-10])

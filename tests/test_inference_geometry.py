@@ -45,3 +45,29 @@ def test_predictor_bucketing_reuses_compilations(predictor, rng):
     b = predictor(rng.rand(50, 62, 3).astype(np.float32))  # same 64x64 bucket
     assert predictor._fwd._cache_size() == sizes_before
     assert a.shape == (60, 60, 3) and b.shape == (50, 62, 3)
+
+
+def test_predict_batch_cold_group_runs_exact_size(predictor, rng):
+    """A cold group compiles at its exact size (no blanket power-of-two
+    repeat-padding); later smaller groups reuse the warm executable."""
+    imgs3 = [rng.rand(64, 64, 3).astype(np.float32) for _ in range(3)]
+    outs = predictor.predict_batch(imgs3)
+    assert len(outs) == 3
+    warm = predictor._warm[predictor.bucket_key((64, 64, 3))]
+    assert 3 in warm and 4 not in warm  # exact size, not padded to pow2
+    # a 2-group now repeat-pads up to the warm size 3 instead of compiling n=2
+    cache_before = predictor._fwd._cache_size()
+    outs2 = predictor.predict_batch(imgs3[:2])
+    assert len(outs2) == 2
+    assert predictor._fwd._cache_size() == cache_before
+    assert 2 not in warm  # reused the warm n=3 executable
+
+
+def test_predict_batch_mixed_buckets_rejected(predictor, rng):
+    with pytest.raises(ValueError):
+        predictor.predict_batch(
+            [
+                rng.rand(64, 64, 3).astype(np.float32),
+                rng.rand(128, 64, 3).astype(np.float32),
+            ]
+        )

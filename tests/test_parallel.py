@@ -76,3 +76,126 @@ def test_spatial_sharding_forward_matches(rng):
     vs = replicate(mesh, variables)
     out = np.asarray(fwd(vs, xs))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+class _FakeRealPipeline:
+    """Stands in for HdrRealPipeline: fixed (ldr, hdr) batches per epoch."""
+
+    def __init__(self, batches):
+        self._batches = batches
+
+    def epoch(self):
+        yield from self._batches
+
+    def steps_per_epoch(self):
+        return len(self._batches)
+
+
+def _finetune_setup(rng, tmp_path, seed_dir):
+    """Multi-net state via the restore_pretrained_subnets path (a deq
+    pretrain checkpoint grafted into the 4-net finetune state)."""
+    import jax.numpy as jnp
+
+    from singlehdr_tpu.models import HallucinationNet, LinearizationNet, RefinementNet
+    from singlehdr_tpu.train.checkpoint import (
+        CheckpointManager,
+        restore_pretrained_subnets,
+    )
+    from singlehdr_tpu.train.state import init_multi_state
+
+    sample = jnp.zeros((8, 32, 32, 3))
+    solo = init_net_state(DequantizationNet(), jax.random.PRNGKey(3), sample, 1e-4)
+    solo, _, _ = deq_train_step(
+        solo,
+        jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32),
+        jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32),
+        jnp.ones((8, 1, 1, 1)),
+    )
+    mgr = CheckpointManager(str(seed_dir))
+    mgr.save(solo)
+    mgr.wait()
+    mgr.close()
+
+    modules = {
+        "deq": DequantizationNet(),
+        "lin": LinearizationNet(),
+        "hal": HallucinationNet(),
+        "ref": RefinementNet(),
+    }
+    samples = {
+        "deq": sample,
+        "lin": sample,
+        "hal": sample,
+        "ref": jnp.concatenate([sample] * 3, -1),
+    }
+    state = init_multi_state(modules, samples, jax.random.PRNGKey(0), 1e-5)
+    return restore_pretrained_subnets(state, {"deq": str(seed_dir)}, 1e-5)
+
+
+def test_finetune_loop_mesh_matches_single_device(rng, tmp_path):
+    """One finetune epoch on the 8-way data mesh — through the full
+    restore_pretrained_subnets -> replicate -> step loop — must match the
+    unsharded loop's final params (VERDICT round-1 item 8)."""
+    from singlehdr_tpu.train.loop import run_real_finetune
+    from singlehdr_tpu.train.steps import make_finetune_train_step
+
+    batches = [
+        (
+            rng.rand(8, 32, 32, 3).astype(np.float32),
+            rng.rand(8, 32, 32, 3).astype(np.float32),
+        )
+        for _ in range(2)
+    ]
+
+    def run(mesh, tag):
+        state = _finetune_setup(
+            np.random.RandomState(11), tmp_path, tmp_path / f"seed_{tag}"
+        )
+        out = run_real_finetune(
+            state=state,
+            step_fn=make_finetune_train_step(),
+            pipeline=_FakeRealPipeline(batches),
+            epochs=1,
+            ckpt_dir=str(tmp_path / f"ckpt_{tag}"),
+            log_dir=str(tmp_path / f"logs_{tag}"),
+            mesh=mesh,
+        )
+        return jax.tree.leaves(out.params)
+
+    single = run(None, "single")
+    meshed = run(make_mesh(8, spatial=1), "mesh")
+    # Adam divides by sqrt(v), so float reassociation of the cross-shard mean
+    # can flip the direction of near-zero gradients; 5e-5 after two 1e-5-lr
+    # steps bounds that while still catching any real sharding bug.
+    for a, c in zip(meshed, single):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=5e-5)
+
+
+def test_finetune_loop_mesh_tail_batch(rng, tmp_path):
+    """A short tail batch on a mesh must take the padded sharded path (no
+    recompile against mesh-replicated state) and keep training finite."""
+    from singlehdr_tpu.train.loop import run_real_finetune
+    from singlehdr_tpu.train.steps import make_finetune_train_step
+
+    batches = [
+        (
+            rng.rand(8, 32, 32, 3).astype(np.float32),
+            rng.rand(8, 32, 32, 3).astype(np.float32),
+        ),
+        (  # short tail: 3 of batch 8 on a data=8 mesh
+            rng.rand(3, 32, 32, 3).astype(np.float32),
+            rng.rand(3, 32, 32, 3).astype(np.float32),
+        ),
+    ]
+    state = _finetune_setup(np.random.RandomState(5), tmp_path, tmp_path / "seed_t")
+    out = run_real_finetune(
+        state=state,
+        step_fn=make_finetune_train_step(),
+        pipeline=_FakeRealPipeline(batches),
+        epochs=1,
+        ckpt_dir=str(tmp_path / "ckpt_t"),
+        log_dir=str(tmp_path / "logs_t"),
+        mesh=make_mesh(8, spatial=1),
+    )
+    assert int(out.step) == 2  # tail batch trained, not skipped
+    assert all(np.isfinite(x).all() for x in map(np.asarray, jax.tree.leaves(out.params)))

@@ -102,3 +102,59 @@ def test_concurrent_requests_micro_batch(server, rng):
         stats = json.loads(r.read())
     assert stats["device_batches"] >= 1
     assert stats["max_batch"] >= 1  # >1 when requests landed within the window
+
+
+def test_micro_batcher_bucket_fairness():
+    """A waiting other-bucket request must be served before a later flood of
+    the first bucket (the round-1 design re-queued it behind new arrivals)."""
+    import threading as th
+    import time as _time
+
+    from singlehdr_tpu.serve import MicroBatcher, _Stats
+
+    served = []          # groups of image ids, in device-dispatch order
+    gate = th.Event()    # blocks the first device batch so requests pile up
+
+    class FakePredictor:
+        def __init__(self):
+            self.calls = 0
+
+        def bucket_key(self, shape):
+            return shape[:2]
+
+        def predict_batch(self, imgs):
+            self.calls += 1
+            if self.calls == 1:
+                gate.wait(timeout=30)
+            served.append(sorted(int(im[0, 0, 0]) for im in imgs))
+            return [im for im in imgs]
+
+    def img(bucket_hw, ident):
+        out = np.full(bucket_hw + (3,), float(ident), np.float32)
+        return out
+
+    batcher = MicroBatcher(FakePredictor(), _Stats(), max_batch=4, window_s=0.01)
+
+    def post(im, results, i):
+        results[i] = batcher.predict(im)
+
+    results = {}
+    threads = [th.Thread(target=post, args=(img((8, 8), 0), results, 0))]
+    threads[0].start()
+    _time.sleep(0.2)  # worker is now blocked inside batch #1
+    # one request on a second bucket, then a flood on the first bucket
+    order = [((16, 16), 1)] + [((8, 8), 2 + i) for i in range(6)]
+    for i, (hw, ident) in enumerate(order, start=1):
+        t = th.Thread(target=post, args=(img(hw, ident), results, ident))
+        threads.append(t)
+        t.start()
+        _time.sleep(0.02)  # deterministic arrival order
+    gate.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert len(results) == 8
+    # the lone bucket-2 request (id 1) is served in the batch right after the
+    # blocked one — not starved behind the 6-deep bucket-1 flood
+    assert served[0] == [0]
+    assert served[1] == [1]
+    assert sorted(sum(served[2:], [])) == [2, 3, 4, 5, 6, 7]
