@@ -18,7 +18,7 @@ from singlehdr_tpu.models.unet import ResidualUNet
 
 class DequantizationNet(nn.Module):
     dtype: Any = jnp.float32
-    fast_convs: bool = False  # inference-only Pallas strip convs
+    fast_convs: bool = True  # packed-lane conv fast path (dense fallback off-TPU)
 
     @nn.compact
     def __call__(self, ldr: jnp.ndarray, train: bool = False) -> jnp.ndarray:

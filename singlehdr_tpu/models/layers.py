@@ -81,6 +81,64 @@ def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
     return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
 
 
+class PackedConv(nn.Module):
+    """Drop-in conv computed by the packed-lane transform
+    (ops.packed_conv) — the default fast path for the MXU-underfilled
+    small-channel U-Net stages (measured 1.5-2.5x per conv on v5e, and more
+    in-net where consecutive packed stages keep the 128-lane layout).
+
+    Parameter names/shapes match nn.Conv exactly ('kernel' HWIO, 'bias'), so
+    checkpoints interchange freely with the dense path.  Pure XLA: autodiff,
+    sharding, and remat all work — usable for training as well as inference.
+    Falls back to the dense conv off-TPU (the packed form trades FLOPs for
+    lane occupancy, a TPU-only win) or when the static shape doesn't support
+    packing.
+    """
+
+    features: int
+    kernel: tuple
+    act: str | None = None
+    dtype: Dtype = jnp.float32
+    max_pack_cout: int = 32  # measured win threshold: p >= 4 (BENCH_NOTES r2)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from singlehdr_tpu.ops.packed_conv import packed_conv, packed_conv_supported
+
+        kernel = self.param(
+            "kernel",
+            glorot(),
+            (*self.kernel, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if (
+            jax.default_backend() == "tpu"
+            and self.features <= self.max_pack_cout
+            and packed_conv_supported(x.shape, self.features)
+        ):
+            return packed_conv(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                bias,
+                act=self.act,
+            )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(self.dtype)
+        if self.act == "leaky_relu":
+            return leaky_relu(y)
+        if self.act == "relu":
+            return nn.relu(y)
+        if self.act == "tanh":
+            return jnp.tanh(y)
+        return y
+
+
 class StripConv(nn.Module):
     """Drop-in replacement for ``conv`` computed by the Pallas strip-conv
     kernel (ops.pallas.strip_conv_pallas) — the inference fast path for the

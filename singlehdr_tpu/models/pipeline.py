@@ -52,7 +52,7 @@ class ReverseCameraPipeline(nn.Module):
 
     use_refinement: bool = True
     dtype: Any = jnp.float32
-    fast_convs: bool = False  # inference-only Pallas strip convs in deq/ref
+    fast_convs: bool = True  # packed-lane convs in deq/ref (dense fallback off-TPU)
 
     @nn.compact
     def __call__(self, ldr: jnp.ndarray, train: bool = False) -> PipelineOutputs:

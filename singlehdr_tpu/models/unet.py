@@ -6,9 +6,14 @@ refinement_net.py:31-66): a 7x7 stem at 16 channels, four avg-pool down stages
 3-channel 3x3 head; they differ only in bottleneck width (256 vs 128) and the
 output/residual transform, which the thin wrappers own.
 
-TPU notes: all convs are SAME/NHWC so XLA tiles them directly onto the MXU; the
-bilinear x2 is a fixed-weight lerp that fuses into the following conv's input;
-avg-pool is a reshape-mean (no reduce_window dispatch).
+TPU notes: all convs are SAME/NHWC so XLA tiles them directly onto the MXU.
+The 3-32 channel stages underfill the MXU's 128 output lanes, so with
+``fast_convs`` (default) every conv routes through PackedConv, which packs
+horizontally-adjacent pixels into the lane dim (ops.packed_conv) — pure XLA,
+training-safe, checkpoint-identical parameters, automatic dense fallback for
+the wide stages and off-TPU.  The bilinear x2 is a fixed-weight lerp that
+fuses into the following conv's input; avg-pool is a reshape-mean (no
+reduce_window dispatch).
 """
 
 from __future__ import annotations
@@ -18,8 +23,19 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from singlehdr_tpu.models.layers import StripConv, conv, leaky_relu
+from singlehdr_tpu.models.layers import PackedConv, conv, leaky_relu
 from singlehdr_tpu.ops.resize import avg_pool_2x2, resize_bilinear_x2
+
+
+def _stage_conv(features, kernel, act, dtype, fast_convs, name):
+    """One SAME conv + activation; packed-lane fast path when enabled."""
+    if fast_convs:
+        return PackedConv(features, (kernel, kernel), act=act, dtype=dtype, name=name)
+    mod = conv(features, kernel, dtype=dtype, name=name)
+    if act is None:
+        return mod
+    assert act == "leaky_relu"
+    return lambda x: leaky_relu(mod(x))
 
 
 class DownStage(nn.Module):
@@ -28,12 +44,16 @@ class DownStage(nn.Module):
     features: int
     kernel: int
     dtype: Any = jnp.float32
+    fast_convs: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = avg_pool_2x2(x)
-        x = leaky_relu(conv(self.features, self.kernel, dtype=self.dtype, name="conv1")(x))
-        x = leaky_relu(conv(self.features, self.kernel, dtype=self.dtype, name="conv2")(x))
+        for name in ("conv1", "conv2"):
+            x = _stage_conv(
+                self.features, self.kernel, "leaky_relu", self.dtype,
+                self.fast_convs, name,
+            )(x)
         return x
 
 
@@ -42,7 +62,7 @@ class UpStage(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
-    fast_convs: bool = False
+    fast_convs: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
@@ -53,12 +73,9 @@ class UpStage(nn.Module):
         return x
 
     def _conv(self, name: str):
-        if self.fast_convs and self.features <= 16:
-            return StripConv(
-                self.features, (3, 3), act="leaky_relu", dtype=self.dtype, name=name
-            )
-        mod = conv(self.features, 3, dtype=self.dtype, name=name)
-        return lambda x: leaky_relu(mod(x))
+        return _stage_conv(
+            self.features, 3, "leaky_relu", self.dtype, self.fast_convs, name
+        )
 
 
 class ResidualUNet(nn.Module):
@@ -74,9 +91,9 @@ class ResidualUNet(nn.Module):
     bottleneck_features: int = 256
     out_features: int = 3
     dtype: Any = jnp.float32
-    # inference-only Pallas strip-conv fast path for the Cout<=16 stages
-    # (stems, last up stage, head) — forward-only, never set while training
-    fast_convs: bool = False
+    # packed-lane conv fast path (ops.packed_conv): pure XLA, differentiable,
+    # parameter-identical to the dense path; dense fallback off-TPU
+    fast_convs: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -85,9 +102,15 @@ class ResidualUNet(nn.Module):
         h = self._stem("stem2")(h)
         skips = [h]
         for i, (f, k) in enumerate(zip(self.down_features, self.down_kernels)):
-            h = DownStage(f, k, dtype=self.dtype, name=f"down{i + 2}")(h)
+            h = DownStage(
+                f, k, dtype=self.dtype, fast_convs=self.fast_convs,
+                name=f"down{i + 2}",
+            )(h)
             skips.append(h)
-        h = DownStage(self.bottleneck_features, 3, dtype=self.dtype, name="bottleneck")(h)
+        h = DownStage(
+            self.bottleneck_features, 3, dtype=self.dtype,
+            fast_convs=self.fast_convs, name="bottleneck",
+        )(h)
         up_widths = [self.stem_features, *self.down_features][::-1]  # e.g. [128,64,32,16]
         for i, (f, skip) in enumerate(zip(up_widths, reversed(skips))):
             h = UpStage(
@@ -97,20 +120,14 @@ class ResidualUNet(nn.Module):
         return self._head()(h)
 
     def _stem(self, name: str):
-        """Stem conv + leaky ReLU; strip-conv kernel on the fast path."""
-        if self.fast_convs:
-            return StripConv(
-                self.stem_features,
-                (self.stem_kernel, self.stem_kernel),
-                act="leaky_relu",
-                dtype=self.dtype,
-                name=name,
-            )
-        mod = conv(self.stem_features, self.stem_kernel, dtype=self.dtype, name=name)
-        return lambda v: leaky_relu(mod(v))
+        """Stem conv + leaky ReLU; packed-lane kernel on the fast path."""
+        return _stage_conv(
+            self.stem_features, self.stem_kernel, "leaky_relu", self.dtype,
+            self.fast_convs, name,
+        )
 
     def _head(self):
         """Raw 3-channel output conv (activation belongs to the wrappers)."""
-        if self.fast_convs:
-            return StripConv(self.out_features, (3, 3), dtype=self.dtype, name="head")
-        return conv(self.out_features, 3, dtype=self.dtype, name="head")
+        return _stage_conv(
+            self.out_features, 3, None, self.dtype, self.fast_convs, "head"
+        )

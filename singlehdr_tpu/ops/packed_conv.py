@@ -36,6 +36,7 @@ kw=7 stem -> 2.29x; all far below the 8-21x lane underfill they replace.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -119,11 +120,19 @@ def packed_conv(
     cout_p = _ceil_pow2(cout)
     ph, pw = kh // 2, kw // 2
     n_groups = -(-(p + kw - 1) // p)
-    # left-shift by pw (SAME centering) and right-pad so the VALID conv over
-    # groups yields exactly W/p output groups
-    pad_r = (n_groups - 1) * p - pw
-    xp = jnp.pad(x, ((0, 0), (0, 0), (pw, pad_r), (0, 0)))
-    xg = xp.reshape(bsz, h, w_in // p + n_groups - 1, p * cin)
+    # Shift right by pw pixels (SAME centering) and extend with zeros so the
+    # VALID conv over groups yields exactly W/p output groups.  Both are one
+    # jnp.pad on the flat [B, H, W*Cin] view: its minor dim is a multiple of
+    # 128 lanes, so the copy runs at full HBM bandwidth — padding the unpacked
+    # NHWC array (minor dim Cin) costs ~6x more (measured on v5e).
+    lanes = p * cin
+    n_ext = w_in // p + n_groups - 1
+    flat = x.reshape(bsz, h, w_in * cin)
+    shift = pw * cin
+    flat = jnp.pad(
+        flat, ((0, 0), (0, 0), (shift, n_ext * lanes - w_in * cin - shift))
+    )
+    xg = flat.reshape(bsz, h, n_ext, lanes)
     wp = build_packed_kernel(w, p).astype(x.dtype)
     out = lax.conv_general_dilated(
         xg,
