@@ -74,7 +74,17 @@ class HallucinationNet(nn.Module):
 
     @nn.compact
     def __call__(self, rgb01: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        bgr = vgg_preprocess(rgb01).astype(self.dtype)
+        # The preprocessing means live in a (non-trainable) variable so that
+        # BGR-trained reference checkpoints — whose effective mean order is
+        # reversed — import as a pure weight transform with no module flags
+        # (train.weight_import.adapt_channel_order).
+        from singlehdr_tpu.ops.color import VGG_MEAN_BGR
+
+        mean = self.variable(
+            "batch_stats", "preproc_mean",
+            lambda: jnp.asarray(VGG_MEAN_BGR, jnp.float32),
+        )
+        bgr = vgg_preprocess(rgb01, mean.value).astype(self.dtype)
 
         x = bgr
         skips = []

@@ -95,39 +95,50 @@ class ResidualUNet(nn.Module):
     # parameter-identical to the dense path; dense fallback off-TPU
     fast_convs: bool = True
 
+    # Packing trades MAC inflation for lane occupancy; measured on v5e it wins
+    # for small/medium workloads (b16 @ 512^2: deq 48.7 vs 60.6 ms/net) but
+    # loses at large ones (b64 @ 512^2: 162.6 vs 154.7 ms), where XLA's dense
+    # conv blocks well enough that the inflated FLOPs dominate.  Shapes are
+    # static under jit, so every compiled shape picks its winning path.
+    max_pack_pixels: int = 16 * 512 * 512
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        fast = (
+            self.fast_convs
+            and x.shape[0] * x.shape[1] * x.shape[2] <= self.max_pack_pixels
+        )
         x = x.astype(self.dtype)
-        h = self._stem("stem1")(x)
-        h = self._stem("stem2")(h)
+        h = self._stem("stem1", fast)(x)
+        h = self._stem("stem2", fast)(h)
         skips = [h]
         for i, (f, k) in enumerate(zip(self.down_features, self.down_kernels)):
             h = DownStage(
-                f, k, dtype=self.dtype, fast_convs=self.fast_convs,
+                f, k, dtype=self.dtype, fast_convs=fast,
                 name=f"down{i + 2}",
             )(h)
             skips.append(h)
         h = DownStage(
             self.bottleneck_features, 3, dtype=self.dtype,
-            fast_convs=self.fast_convs, name="bottleneck",
+            fast_convs=fast, name="bottleneck",
         )(h)
         up_widths = [self.stem_features, *self.down_features][::-1]  # e.g. [128,64,32,16]
         for i, (f, skip) in enumerate(zip(up_widths, reversed(skips))):
             h = UpStage(
-                f, dtype=self.dtype, fast_convs=self.fast_convs,
+                f, dtype=self.dtype, fast_convs=fast,
                 name=f"up{len(skips) - i}",
             )(h, skip)
-        return self._head()(h)
+        return self._head(fast)(h)
 
-    def _stem(self, name: str):
+    def _stem(self, name: str, fast: bool):
         """Stem conv + leaky ReLU; packed-lane kernel on the fast path."""
         return _stage_conv(
             self.stem_features, self.stem_kernel, "leaky_relu", self.dtype,
-            self.fast_convs, name,
+            fast, name,
         )
 
-    def _head(self):
+    def _head(self, fast: bool):
         """Raw 3-channel output conv (activation belongs to the wrappers)."""
         return _stage_conv(
-            self.out_features, 3, None, self.dtype, self.fast_convs, "head"
+            self.out_features, 3, None, self.dtype, fast, "head"
         )

@@ -43,12 +43,16 @@ def rgb_to_grayscale_u8(rgb_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(lum)[..., None]
 
 
-def vgg_preprocess(rgb01: jnp.ndarray) -> jnp.ndarray:
-    """Scale [0,1] RGB to 0..255, reorder to BGR, subtract ImageNet means.
+def vgg_preprocess(rgb01: jnp.ndarray, mean=VGG_MEAN_BGR) -> jnp.ndarray:
+    """Scale [0,1] RGB to 0..255, reorder to BGR, subtract per-channel means.
 
     Shared preamble of VGG16 (``vgg16.py:95-109``) and the Hallucination-Net
-    (``hallucination_net.py:149-153``).
+    (``hallucination_net.py:149-153``).  ``mean`` defaults to the ImageNet BGR
+    means; the Hallucination-Net threads it as a stored variable so that
+    BGR-trained reference weights (whose effective mean order is reversed —
+    see train.weight_import.adapt_channel_order) import as a pure weight
+    transform.
     """
     x = rgb01 * 255.0
-    mean = jnp.asarray(VGG_MEAN_BGR, dtype=x.dtype)
+    mean = jnp.asarray(mean, dtype=x.dtype)
     return flip_channels(x) - mean

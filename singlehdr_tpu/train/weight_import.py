@@ -216,26 +216,205 @@ def load_variables_npz(path: str) -> Dict[str, Any]:
 
 
 def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Read {key: array} from an .npz dump or a TF checkpoint prefix."""
+    """Read {key: array} from a TF checkpoint prefix or an .npz dump.
+
+    Raw ``tf.train.Checkpoint`` prefixes (``<prefix>.index`` +
+    ``<prefix>.data-*``) are read directly by the dependency-free
+    TensorBundle parser (train.tensorbundle) — no TensorFlow needed.
+    """
     if path.endswith(".npz"):
         z = np.load(path, allow_pickle=False)
         return {k: z[k] for k in z.files}
-    try:
-        import tensorflow as tf  # pragma: no cover — TF not in this image
-    except ImportError as e:
-        raise RuntimeError(
-            "reading raw TF checkpoints requires tensorflow; dump the "
-            "checkpoint to .npz with tools/dump_tf_checkpoint.py on a "
-            "machine that has TF installed"
-        ) from e
-    reader = tf.train.load_checkpoint(path)  # pragma: no cover
-    return {  # pragma: no cover
-        k: reader.get_tensor(k)
-        for k in reader.get_variable_to_shape_map()
+    from singlehdr_tpu.train import tensorbundle
+
+    if tensorbundle.is_bundle(path):
+        prefix = path[: -len(".index")] if path.endswith(".index") else path
+        return tensorbundle.read_bundle(prefix)
+    raise FileNotFoundError(
+        f"no checkpoint at {path!r}: expected an .npz dump or a "
+        "TensorBundle prefix (<prefix>.index + <prefix>.data-*)"
+    )
+
+
+def export_reference_checkpoint(
+    net: str, variables: Mapping[str, Any], prefix: str
+) -> int:
+    """Write one net's Flax variables as a reference-format TF2 checkpoint.
+
+    Emits a TensorBundle at ``prefix`` with the reference's key layout
+    (universal model slot ``lin``, tf_utils.py:157-160) so weights trained in
+    this framework load into the reference's ``tf.train.Checkpoint`` restore
+    path (restore tolerates the absent optimizer slots).  Returns the number
+    of tensors written.
+    """
+    from singlehdr_tpu.train import tensorbundle
+
+    inverse: Dict[str, str] = {}
+    for attr, module_path in NET_MAPS[net].items():
+        inverse[module_path] = attr
+
+    flat_params = _flatten_tree(variables.get("params", {}))
+    flat_stats = _flatten_tree(variables.get("batch_stats", {}))
+    _INV_CONV = {"kernel": "kernel", "bias": "bias"}
+    _INV_BN_P = {"scale": "gamma", "bias": "beta"}
+    _INV_BN_S = {"mean": "moving_mean", "var": "moving_variance"}
+
+    tensors: Dict[str, np.ndarray] = {
+        "epoch/.ATTRIBUTES/VARIABLE_VALUE": np.asarray(0.0, np.float32),
+        "save_counter/.ATTRIBUTES/VARIABLE_VALUE": np.asarray(1, np.int64),
     }
 
+    def attr_for(module_path: str) -> str | None:
+        attr = inverse.get(module_path)
+        if attr is None:
+            # two-level attributes like d2/conv1 mapped via their head
+            head, _, tail = module_path.rpartition("/")
+            if inverse.get(head) and tail:
+                attr = f"{inverse[head]}/{tail}"
+        return attr
 
-def import_net_weights(net: str, path: str, target_variables: Mapping[str, Any]):
+    # BN params share the name 'bias' with convs; a module is a BN iff it
+    # also carries batch_stats at the same path.
+    bn_paths = {k.rpartition("/")[0] for k in flat_stats}
+    for key, value in flat_params.items():
+        module_path, _, var_name = key.rpartition("/")
+        tf_var = (
+            _INV_BN_P.get(var_name)
+            if module_path in bn_paths
+            else _INV_CONV.get(var_name)
+        )
+        attr = attr_for(module_path)
+        if tf_var is None or attr is None:
+            continue
+        tensors[f"lin/{attr}/{tf_var}{_SUFFIX}"] = np.asarray(value, np.float32)
+    for key, value in flat_stats.items():
+        module_path, _, var_name = key.rpartition("/")
+        tf_var = _INV_BN_S.get(var_name)
+        attr = attr_for(module_path)
+        if tf_var is None or attr is None:
+            continue
+        tensors[f"lin/{attr}/{tf_var}{_SUFFIX}"] = np.asarray(value, np.float32)
+
+    tensorbundle.write_bundle(prefix, tensors)
+    return len(tensors)
+
+
+# ---------------------------------------------------------------------------
+# channel-order adapter for BGR-trained reference weights
+# ---------------------------------------------------------------------------
+
+# The reference trains its synth path on cv2-BGR images (the two channel
+# flips in dataset.py:182-184 cancel), while this framework is RGB end-to-end.
+# Weights trained on BGR are exactly the RGB weights with channel-coupled
+# parameters permuted, because every architecture here is channel-equivariant
+# except for hallucination's fixed VGG-mean constants — which a bias
+# correction absorbs exactly (the mean subtraction happens after the
+# channel reversal inside the net, hallucination_net.py:151-153, so swapping
+# input channel order shifts each channel by a known constant).
+
+_VGG_MEAN = np.array([103.939, 116.779, 123.68], np.float32)  # B, G, R
+
+
+def _lin_stack_permutation() -> np.ndarray:
+    """Channel involution of the 93-ch linearization feature stack under a
+    data channel reversal: image(3) reversed; sobel(6, channel-major (dy,dx)
+    pairs) pairs reversed; each histogram bin's 3-group reversed (bin-major,
+    linearization_net.py:312-322, ops/histogram.py)."""
+    perm = list(range(93))
+    perm[0:3] = [2, 1, 0]
+    for j in range(6):
+        blk, d = divmod(j, 2)
+        perm[3 + j] = 3 + (2 - blk) * 2 + d
+    base = 9
+    for bins in (4, 8, 16):
+        for g in range(bins):
+            for c in range(3):
+                perm[base + g * 3 + c] = base + g * 3 + (2 - c)
+        base += bins * 3
+    return np.asarray(perm)
+
+
+def _perm_in(kernel: np.ndarray, perm) -> np.ndarray:
+    return np.ascontiguousarray(kernel[:, :, perm, :])
+
+
+def _flip_out(node: Dict[str, Any]) -> None:
+    node["kernel"] = np.ascontiguousarray(node["kernel"][..., ::-1])
+    if "bias" in node:
+        node["bias"] = np.ascontiguousarray(node["bias"][::-1])
+
+
+def adapt_channel_order(net: str, tree: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert a BGR-trained net's variables for RGB inputs, in place.
+
+    ``tree`` is the {"params", "batch_stats"} dict in this framework's module
+    naming (i.e. after ``reference_keys_to_tree``).  The adapted net computes
+    exactly the permuted function: net'(x) == flip(net(flip(x))) for deq/ref/
+    hal and net'(x) == net(flip(x)) for lin (whose curve output has no
+    channel order).  Missing nodes are skipped so partial trees survive.
+    """
+    params = tree.get("params", {})
+
+    def node(*path):
+        n = params
+        for p in path:
+            if not isinstance(n, Mapping) or p not in n:
+                return None
+            n = n[p]
+        return n
+
+    if net in ("deq", "ref"):
+        stem = node("unet", "stem1")
+        if stem is not None and "kernel" in stem:
+            cin = stem["kernel"].shape[2]
+            # per-3-group reversal: 3 for deq, 9 (concat[A,B,C]) for ref
+            perm = np.concatenate(
+                [np.arange(g, g + 3)[::-1] for g in range(0, cin, 3)]
+            )
+            stem["kernel"] = _perm_in(np.asarray(stem["kernel"]), perm)
+        head = node("unet", "head")
+        if head is not None and "kernel" in head:
+            _flip_out(head)
+    elif net == "lin":
+        stem = node("crf_feature_net", "stem")
+        if stem is not None and "kernel" in stem:
+            stem["kernel"] = _perm_in(
+                np.asarray(stem["kernel"]), _lin_stack_permutation()
+            )
+    elif net == "hal":
+        # Under BGR training data the net's effective preprocessed input is
+        # P(255*x - reversed_mean) relative to ours (hallucination_net.py:
+        # 149-153 reverses channels *before* subtracting the means, so data
+        # order and mean order swap together).  Permuting the stored
+        # preprocessing means + the first conv's input channels reproduces it
+        # exactly — including at SAME-padding borders, where a bias-side
+        # correction would be wrong.
+        first = node("enc1", "conv1")
+        if first is not None and "kernel" in first:
+            first["kernel"] = _perm_in(
+                np.asarray(first["kernel"], np.float32), np.array([2, 1, 0])
+            )
+        skip0 = node("skip0", "conv")
+        if skip0 is not None and "kernel" in skip0:
+            k = np.asarray(skip0["kernel"], np.float32)  # [1,1,6,3]
+            skip0["kernel"] = _perm_in(k, np.array([0, 1, 2, 5, 4, 3]))
+            # the net's output IS skip0's conv (relu'd): flip its channels so
+            # downstream consumers keep seeing reverse-of-data order
+            _flip_out(skip0)
+        tree.setdefault("batch_stats", {})["preproc_mean"] = np.asarray(
+            _VGG_MEAN[::-1]
+        )
+    else:
+        raise ValueError(net)
+    return tree
+
+
+def import_net_weights(
+    net: str,
+    path: str,
+    target_variables: Mapping[str, Any],
+    channel_order: str = "rgb",
+):
     """Import reference weights for one net, validated against a target tree.
 
     Args:
@@ -248,8 +427,18 @@ def import_net_weights(net: str, path: str, target_variables: Mapping[str, Any])
     the checkpoint provided them and target values elsewhere; raises on any
     shape mismatch.
     """
+    if channel_order not in ("rgb", "bgr"):
+        raise ValueError(f"channel_order must be 'rgb' or 'bgr', got {channel_order!r}")
     raw = load_reference_checkpoint(path)
     imported = reference_keys_to_tree(net, raw)
+    if channel_order == "bgr":
+        imported = adapt_channel_order(net, imported)
+    if net == "hal" and "preproc_mean" not in imported["batch_stats"]:
+        # framework-only constant, absent from reference checkpoints: carry
+        # the target's default instead of reporting it as an unmapped param
+        tgt = target_variables.get("batch_stats", {}).get("preproc_mean")
+        if tgt is not None:
+            imported["batch_stats"]["preproc_mean"] = np.asarray(tgt)
 
     stats = {"imported": 0, "kept": 0}
 

@@ -1,0 +1,38 @@
+"""Regression gate on the trained-quality anchor artifact.
+
+tools/quality_anchor.py runs the full recipe (pretrain -> joint -> finetune ->
+evaluate) at reduced-but-non-toy scale on TPU and writes QUALITY_r*.json at
+the repo root.  When such an artifact is committed, this gate keeps later
+rounds from silently regressing the trained pipeline's quality.  Skipped when
+no artifact exists (e.g. fresh clones without TPU access).
+"""
+
+import glob
+import json
+import os
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Floors chosen ~2 dB / 0.05 below the measured anchor so ordinary run-to-run
+# noise passes but a semantic regression (loss mis-wiring, broken restore,
+# channel swaps) fails.
+MIN_PSNR_MU = 20.0
+MIN_SSIM_MU = 0.60
+
+
+def _latest_artifact():
+    paths = sorted(glob.glob(os.path.join(ROOT, "QUALITY_r*.json")))
+    return paths[-1] if paths else None
+
+
+def test_quality_anchor_gate():
+    path = _latest_artifact()
+    if path is None:
+        pytest.skip("no QUALITY_r*.json artifact present")
+    with open(path) as f:
+        q = json.load(f)
+    assert q["psnr_mu"] is not None and q["ssim_mu"] is not None
+    assert q["psnr_mu"] >= MIN_PSNR_MU, f"mu-PSNR regressed: {q['psnr_mu']}"
+    assert q["ssim_mu"] >= MIN_SSIM_MU, f"mu-SSIM regressed: {q['ssim_mu']}"

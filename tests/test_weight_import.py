@@ -77,6 +77,8 @@ def _make_reference_raw(net, variables):
         raw[f"lin/{attr}/{name}{_SUFFIX}"] = arr
     for path, arr in _flatten(variables.get("batch_stats", {})).items():
         *mod, var = path
+        if var == "preproc_mean":
+            continue  # framework-only constant, absent from reference ckpts
         attr = _invert_module_path(net_map, mod)
         name = {"mean": "moving_mean", "var": "moving_variance"}[var]
         raw[f"lin/{attr}/{name}{_SUFFIX}"] = arr

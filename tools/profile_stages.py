@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Per-stage TPU timing for the 4-net pipeline at a chosen batch/size.
+
+Times each net's jitted forward and the full pipeline, with the packed-lane
+conv fast path on and off, to localize regressions (e.g. a per-net win that
+loses end-to-end at a different batch size).  Usage:
+
+    python tools/profile_stages.py --batch 64 --size 512 [--nets deq,ref]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def measure(fn, *args, iters=6, warmup=2):
+    """Compile once; return (ms, flops_TF, bytes_GB, compile_s)."""
+    t0 = time.time()
+    compiled = jax.jit(fn).lower(*args).compile()
+    tf_, gb = 0.0, 0.0
+    try:
+        c = compiled.cost_analysis()
+        c = c[0] if isinstance(c, (list, tuple)) else c
+        tf_ = float(c.get("flops", 0)) / 1e12
+        gb = float(c.get("bytes accessed", 0)) / 1e9
+    except Exception:
+        pass
+    jax.block_until_ready(compiled(*args))
+    compile_s = time.time() - t0
+    for _ in range(warmup):
+        jax.block_until_ready(compiled(*args))
+    t0 = time.time()
+    for _ in range(iters):
+        out = compiled(*args)
+    jax.block_until_ready(out)
+    ms = (time.time() - t0) / iters * 1000.0
+    return ms, tf_, gb, compile_s
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--nets", default="deq,lin,hal,ref,pipe")
+    p.add_argument("--iters", type=int, default=6)
+    args = p.parse_args()
+
+    from singlehdr_tpu.models import (
+        DequantizationNet,
+        HallucinationNet,
+        LinearizationNet,
+        RefinementNet,
+        ReverseCameraPipeline,
+    )
+
+    dt = jnp.dtype(args.dtype)
+    b, s = args.batch, args.size
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.RandomState(0)
+    x3 = jnp.asarray(rng.rand(b, s, s, 3), jnp.float32)
+    x9 = jnp.asarray(rng.rand(b, s, s, 9), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    wanted = set(args.nets.split(","))
+
+    def bench(name, module_fn, sample):
+        for fast in (True, False):
+            mod = module_fn(fast)
+            variables = jax.jit(mod.init)(key, sample[:1])
+            ms, tf_, gb, compile_s = measure(
+                lambda v, x, m=mod: m.apply(v, x), variables, sample,
+                iters=args.iters,
+            )
+            print(
+                f"{name:5s} fast={str(fast):5s} {ms:8.1f} ms/batch"
+                f"  (compile {compile_s:.0f}s, {tf_:.2f} TF @ "
+                f"{tf_ / ms * 1000:.0f} TF/s, {gb:.1f} GB @ "
+                f"{gb / ms * 1000:.0f} GB/s)",
+                flush=True,
+            )
+
+    if "deq" in wanted:
+        bench("deq", lambda f: DequantizationNet(dtype=dt, fast_convs=f), x3)
+    if "ref" in wanted:
+        bench("ref", lambda f: RefinementNet(dtype=dt, fast_convs=f), x9)
+    for nm, maker in (("lin", LinearizationNet), ("hal", HallucinationNet)):
+        if nm not in wanted:
+            continue
+        mod = maker(dtype=dt)
+        variables = jax.jit(mod.init)(key, x3[:1])
+        ms, tf_, gb, compile_s = measure(
+            lambda v, x, m=mod: m.apply(v, x), variables, x3, iters=args.iters
+        )
+        print(
+            f"{nm:5s}             {ms:8.1f} ms/batch  (compile {compile_s:.0f}s, "
+            f"{tf_:.2f} TF @ {tf_ / ms * 1000:.0f} TF/s, {gb:.1f} GB @ "
+            f"{gb / ms * 1000:.0f} GB/s)",
+            flush=True,
+        )
+    if "pipe" in wanted:
+        for fast in (True, False):
+            mod = ReverseCameraPipeline(dtype=dt, fast_convs=fast)
+            variables = jax.jit(mod.init)(key, x3[:1])
+            ms, tf_, gb, compile_s = measure(
+                lambda v, x, m=mod: m.apply(v, x).hdr, variables, x3,
+                iters=args.iters,
+            )
+            print(
+                f"pipe  fast={str(fast):5s} {ms:8.1f} ms/batch"
+                f"  ({b / ms * 1000:.1f} img/s; compile {compile_s:.0f}s, "
+                f"{tf_:.2f} TF @ {tf_ / ms * 1000:.0f} TF/s, {gb:.1f} GB @ "
+                f"{gb / ms * 1000:.0f} GB/s)",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
