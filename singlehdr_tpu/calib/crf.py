@@ -16,6 +16,15 @@ Either way the bank exposes the same artifacts the reference training stack
 consumes: ``train_crf / train_invcrf`` ([191, 1024]), ``test_crf / test_invcrf``
 ([10, 1024]), and exposure ladders ``t = 2**linspace(-3, 3, n)`` with n=600
 train / 7 test (``dataset.py:54-56``).
+
+Synthetic-bank fidelity (tools/analyze_crf_bank.py, deterministic): every
+sampled curve is monotone with exact {0, 1} endpoints; mean RMS residual
+against the 25-base measured-EMoR subspace is 2.9e-4 (max 1.3e-3) and 1.2e-3
+against the 11 bases the Linearization-Net predicts in — the same order as
+published DoRF->EMoR reconstruction residuals, i.e. the synthetic curves are
+statistically inside the measured-curve family rather than an arbitrary gamma
+zoo.  Shape diversity: identity-RMS spread 0.004-0.31 (mean 0.15) with a
+2:1 concave/convex curvature mix.
 """
 
 from __future__ import annotations

@@ -145,13 +145,16 @@ def main():
     ]
     for net in ("deq", "lin", "hal"):
         t0 = time.time()
+        # the JPEG round-trip only feeds the deq input (train.py:51-59); lin
+        # and hal never consume it, so skip the host JPEG work for their runs
+        jpeg = ["--jpeg", "true" if net == "deq" else "false"]
         train.run(train.build_parser().parse_args(
             ["--hdrdir", synth, f"--{net}", "true",
              "--deq_ckpt", ck("deq"), "--lin_ckpt", ck("lin"),
              "--hal_ckpt", ck("hal"),
              "--iterations", str(args.steps),
              "--ckpt_every", str(max(200, args.steps // 2)),
-             *common]
+             *jpeg, *common]
         ))
         print(f"[pretrain {net}] {args.steps} steps in {time.time() - t0:.0f}s",
               flush=True)
@@ -203,9 +206,9 @@ def main():
          "--batch_size", "4"]
     ))
     summary = {
-        "psnr_mu": results.get("psnr_mu"),
+        "psnr_mu": results.get("psnr_mu_db"),
         "ssim_mu": results.get("ssim_mu"),
-        "psnr_linear": results.get("psnr_linear"),
+        "psnr_linear": results.get("psnr_linear_db"),
         "steps": {
             "pretrain_each": args.steps,
             "joint": args.joint_steps,
