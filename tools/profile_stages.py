@@ -44,6 +44,47 @@ def measure(fn, *args, iters=6, warmup=2):
     return ms, tf_, gb, compile_s
 
 
+def check_parity(args):
+    """Packed vs dense: forward and gradient parity on the real device.
+
+    The packed path is pure XLA (autodiff'd by construction), but layout bugs
+    would only show on TPU, so this asserts numerically there.  f32, small
+    batch (packing engages below the max_pack_pixels threshold).
+    """
+    from singlehdr_tpu.models import DequantizationNet, RefinementNet
+
+    b = min(args.batch, 4)
+    size = min(args.size, 128)
+    rng = np.random.RandomState(0)
+    for name, cls, cin in (("deq", DequantizationNet, 3), ("ref", RefinementNet, 9)):
+        x = jnp.asarray(rng.rand(b, size, size, cin), jnp.float32)
+        cot = jnp.asarray(rng.rand(b, size, size, 3), jnp.float32)
+        fast, dense = cls(fast_convs=True), cls(fast_convs=False)
+        v = jax.jit(dense.init)(jax.random.PRNGKey(0), x[:1])
+
+        def loss(mod):
+            return jax.jit(
+                lambda v, x: jnp.vdot(mod.apply(v, x), cot).astype(jnp.float32)
+            )
+
+        f_fast, f_dense = loss(fast), loss(dense)
+        y_f, y_d = f_fast(v, x), f_dense(v, x)
+        fwd_err = abs(float(y_f) - float(y_d)) / max(abs(float(y_d)), 1e-9)
+        g_f = jax.jit(jax.grad(f_fast))(v, x)
+        g_d = jax.jit(jax.grad(f_dense))(v, x)
+        errs = jax.tree_util.tree_map(
+            lambda a, b: float(
+                jnp.max(jnp.abs(a - b)) / (1e-9 + jnp.max(jnp.abs(b)))
+            ),
+            g_f, g_d,
+        )
+        worst = max(jax.tree_util.tree_leaves(errs))
+        print(f"{name}: fwd rel err {fwd_err:.2e}  worst grad rel err {worst:.2e}",
+              flush=True)
+        assert fwd_err < 1e-5 and worst < 1e-4, f"{name} parity FAILED"
+    print("parity OK", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=64)
@@ -51,7 +92,14 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--nets", default="deq,lin,hal,ref,pipe")
     p.add_argument("--iters", type=int, default=6)
+    p.add_argument(
+        "--check", action="store_true",
+        help="assert packed-vs-dense forward AND gradient parity on-device "
+        "(run with a small --batch; uses f32 for tight tolerances)",
+    )
     args = p.parse_args()
+    if args.check:
+        return check_parity(args)
 
     from singlehdr_tpu.models import (
         DequantizationNet,
