@@ -180,5 +180,9 @@ def bench_train():
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--train", action="store_true")
+    p.add_argument("--batch", type=int, default=None,
+                   help="override the forward bench batch (experiments only)")
     a = p.parse_args()
+    if a.batch:
+        BATCH = a.batch
     bench_train() if a.train else bench_forward()
