@@ -21,9 +21,9 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from singlehdr_tpu.models.layers import batch_norm, conv
+from singlehdr_tpu.models.layers import UpsampleConv, batch_norm, conv
 from singlehdr_tpu.ops.color import vgg_preprocess
-from singlehdr_tpu.ops.resize import max_pool, resize_bilinear_x2
+from singlehdr_tpu.ops.resize import max_pool
 
 
 class EncoderStage(nn.Module):
@@ -41,28 +41,102 @@ class EncoderStage(nn.Module):
 
 
 class DecoderStage(nn.Module):
-    """bilinear x2 -> conv -> ReLU -> BN -> ReLU (hallucination_net.py:77-91)."""
+    """bilinear x2 -> conv -> ReLU -> BN -> ReLU (hallucination_net.py:77-91).
+
+    The resize+conv pair runs as one fused low-res conv + depth-to-space on
+    TPU (models.layers.UpsampleConv; exact, checkpoint-identical params)."""
 
     features: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = resize_bilinear_x2(x)
-        x = nn.relu(conv(self.features, 3, dtype=self.dtype, name="conv")(x))
+        x = UpsampleConv(self.features, act="relu", dtype=self.dtype, name="conv")(x)
         x = nn.relu(batch_norm(train, name="bn")(x))
         return x
 
 
-class SkipFusion(nn.Module):
-    """concat(x, skip/255) then 1x1 conv (hallucination_net.py:93-107)."""
+class _NarrowConv1x1(nn.Module):
+    """1x1 conv over concat(x, y) computed as broadcast multiply-adds.
+
+    For few-channel tensors (the final skip: 6 -> 3), a real concat + conv
+    materializes 3/6-channel tensors padded to the TPU's 128-lane tile —
+    a 20-40x memory blowup at 512^2 batches.  The same contraction as
+    elementwise ops fuses into one VPU pass.  Parameters ('kernel' HWIO over
+    the concatenated input, 'bias') are identical to nn.Conv, so checkpoints
+    interchange with the conv form.  ``nchw=True`` consumes/produces
+    [b, c, h, w] (lane dim W — nothing pads).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    nchw: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        caxis = 1 if self.nchw else -1
+        cx, cy = x.shape[caxis], y.shape[caxis]
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(),
+            (1, 1, cx + cy, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        k = kernel[0, 0].astype(self.dtype)                  # [cx+cy, cout]
+        x = x.astype(self.dtype)
+        y = y.astype(self.dtype)
+        if self.nchw:
+            out = jnp.einsum("bihw,io->bohw", x, k[:cx])
+            out = out + jnp.einsum("bihw,io->bohw", y, k[cx:])
+            return out + bias.astype(out.dtype)[None, :, None, None]
+        out = (x[..., None] * k[:cx]).sum(-2)
+        out = out + (y[..., None] * k[cx:]).sum(-2)
+        return out + bias.astype(out.dtype)
+
+
+class _HeadConvToNCHW(nn.Module):
+    """1x1 conv reading NHWC, emitting NCHW — the few-channel head output
+    then lives with W in the lane dim instead of 42x-padded 3-channel tiles.
+    Parameters identical to nn.Conv (kernel [1,1,cin,cout], bias)."""
 
     features: int
     dtype: Any = jnp.float32
 
     @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(),
+            (1, 1, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        out = jnp.einsum(
+            "bhwc,co->bohw", x.astype(self.dtype), kernel[0, 0].astype(self.dtype)
+        )
+        return out + bias.astype(out.dtype)[None, :, None, None]
+
+
+class SkipFusion(nn.Module):
+    """concat(x, skip/255) then 1x1 conv (hallucination_net.py:93-107).
+
+    ``nchw=True`` runs the narrow (few-channel) form on [b, c, h, w]."""
+
+    features: int
+    dtype: Any = jnp.float32
+    nchw: bool = False
+
+    @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
-        h = jnp.concatenate([x, skip.astype(x.dtype) / 255.0], axis=-1)
+        skip = skip.astype(x.dtype) / 255.0
+        caxis = 1 if self.nchw else -1
+        if (x.shape[caxis] + skip.shape[caxis]) * self.features <= 64:
+            return _NarrowConv1x1(
+                self.features, dtype=self.dtype, nchw=self.nchw, name="conv"
+            )(x, skip)
+        assert not self.nchw, "wide NCHW skip fusion unsupported"
+        h = jnp.concatenate([x, skip], axis=-1)
         return conv(self.features, 1, dtype=self.dtype, name="conv")(h)
 
 
@@ -100,7 +174,12 @@ class HallucinationNet(nn.Module):
             x = DecoderStage(f, dtype=self.dtype, name=f"dec{i}")(x, train)
             x = SkipFusion(f, dtype=self.dtype, name=f"skip{i}")(x, skip)
 
-        x = conv(3, 1, dtype=self.dtype, name="head_conv")(x)
-        x = nn.relu(batch_norm(train, name="head_bn")(x))
-        x = SkipFusion(3, dtype=self.dtype, name="skip0")(x, bgr)
-        return nn.relu(x).astype(jnp.float32)  # BGR residual
+        # 3-channel tail in NCHW: NHWC would carry every [.,3] tensor padded
+        # to 128 lanes through head_conv/BN/skip0 (~4 GB each at b64 @ 512^2)
+        x = _HeadConvToNCHW(3, dtype=self.dtype, name="head_conv")(x)
+        x = nn.relu(batch_norm(train, name="head_bn", axis=1)(x))
+        x = SkipFusion(3, dtype=self.dtype, nchw=True, name="skip0")(
+            x, jnp.transpose(bgr, (0, 3, 1, 2))
+        )
+        x = jnp.transpose(nn.relu(x), (0, 2, 3, 1))
+        return x.astype(jnp.float32)  # BGR residual

@@ -65,14 +65,21 @@ def dense(features: int, *, dtype: Dtype = jnp.float32, name: str | None = None)
     )
 
 
-def batch_norm(train: bool, *, name: str | None = None) -> nn.BatchNorm:
-    """BatchNorm with Keras constants; statistics and affine math in f32."""
+def batch_norm(
+    train: bool, *, name: str | None = None, axis: int = -1
+) -> nn.BatchNorm:
+    """BatchNorm with Keras constants; statistics and affine math in f32.
+
+    ``axis`` selects the feature axis (1 for NCHW activations); parameter
+    shapes and names are identical either way, so checkpoints interchange.
+    """
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=BN_MOMENTUM,
         epsilon=BN_EPSILON,
         dtype=jnp.float32,
         param_dtype=jnp.float32,
+        axis=axis,
         name=name,
     )
 
@@ -136,6 +143,55 @@ class PackedConv(nn.Module):
             return nn.relu(y)
         if self.act == "tanh":
             return jnp.tanh(y)
+        return y
+
+
+class UpsampleConv(nn.Module):
+    """Fused ``conv3x3(resize_bilinear_x2(x))`` (ops.upsample_conv).
+
+    Drop-in for the decoder resize+conv pair: parameter names/shapes match
+    nn.Conv ('kernel' HWIO, 'bias'), so checkpoints interchange freely with
+    the unfused path.  Exact including borders; pure XLA (autodiff/sharding/
+    remat fine).  On TPU the fused form runs the conv at low resolution with
+    4x output channels + depth-to-space — measured 1.4-2.4x per decoder stage
+    at b64 @ 512^2 and removes the 2 GB materialized upsample intermediates
+    (BENCH_NOTES r2).  Off-TPU it falls back to resize+conv (identical math)
+    unless ``force_fused`` (tests).
+    """
+
+    features: int
+    act: str | None = None
+    dtype: Dtype = jnp.float32
+    force_fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from singlehdr_tpu.ops.resize import resize_bilinear_x2
+        from singlehdr_tpu.ops.upsample_conv import upsample_conv_x2
+
+        kernel = self.param(
+            "kernel", glorot(), (3, 3, x.shape[-1], self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        x = x.astype(self.dtype)
+        if self.force_fused or jax.default_backend() == "tpu":
+            y = upsample_conv_x2(x, kernel.astype(self.dtype))
+        else:
+            y = jax.lax.conv_general_dilated(
+                resize_bilinear_x2(x),
+                kernel.astype(self.dtype),
+                (1, 1),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        y = y + bias.astype(y.dtype)
+        if self.act == "leaky_relu":
+            return leaky_relu(y)
+        if self.act == "relu":
+            return nn.relu(y)
+        assert self.act is None, self.act
         return y
 
 

@@ -82,7 +82,10 @@ class LinearizationNet(nn.Module):
 
     @nn.compact
     def __call__(self, ldr: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        feats = linearization_features(ldr).astype(self.dtype)       # [b,h,w,93]
+        # Build the feature stack in the compute dtype: the stack feeds a
+        # dtype-cast conv anyway, and f32 intermediates at [b,h,w,16,3]-scale
+        # made lin memory-bound (53 GB/batch at b64 @ 512^2 — BENCH_NOTES r2).
+        feats = linearization_features(ldr.astype(self.dtype))       # [b,h,w,93]
         feat = CrfFeatureNet(dtype=self.dtype, name="crf_feature_net")(feats, train)
         w = dense(N_PCA_WEIGHTS, name="pca_head")(feat.astype(jnp.float32))
         inv_emor = load_inverse_emor()

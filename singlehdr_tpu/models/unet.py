@@ -23,7 +23,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from singlehdr_tpu.models.layers import PackedConv, conv, leaky_relu
+from singlehdr_tpu.models.layers import PackedConv, UpsampleConv, conv, leaky_relu
 from singlehdr_tpu.ops.resize import avg_pool_2x2, resize_bilinear_x2
 
 
@@ -58,7 +58,12 @@ class DownStage(nn.Module):
 
 
 class UpStage(nn.Module):
-    """bilinear x2, conv, skip-concat, conv (dequantization_net.py:17-29)."""
+    """bilinear x2, conv, skip-concat, conv (dequantization_net.py:17-29).
+
+    On the dense path the resize+conv1 pair runs as the fused low-res conv +
+    depth-to-space (UpsampleConv — exact, checkpoint-identical params); the
+    packed fast path keeps resize + PackedConv, which wins at those shapes.
+    """
 
     features: int
     dtype: Any = jnp.float32
@@ -66,8 +71,13 @@ class UpStage(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
-        x = resize_bilinear_x2(x)
-        x = self._conv("conv1")(x)
+        if self.fast_convs:
+            x = resize_bilinear_x2(x)
+            x = self._conv("conv1")(x)
+        else:
+            x = UpsampleConv(
+                self.features, act="leaky_relu", dtype=self.dtype, name="conv1"
+            )(x)
         x = jnp.concatenate([x, skip], axis=-1)
         x = self._conv("conv2")(x)
         return x

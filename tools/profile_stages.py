@@ -53,6 +53,10 @@ def check_parity(args):
     """
     from singlehdr_tpu.models import DequantizationNet, RefinementNet
 
+    # TPU f32 matmuls default to 3-pass bf16 emulation whose rounding differs
+    # between the packed and dense conv shapes (~1e-2 relative on individual
+    # grad entries); compare under true-f32 precision instead.
+    jax.config.update("jax_default_matmul_precision", "highest")
     b = min(args.batch, 4)
     size = min(args.size, 128)
     rng = np.random.RandomState(0)
