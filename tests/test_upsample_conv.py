@@ -57,3 +57,27 @@ def test_layer_param_compat_and_forced_fusion():
     y_p = plain.apply(v, x)  # off-TPU fallback: resize + conv
     assert y_f.shape == (2, 16, 16, 5)
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_p), atol=2e-5)
+
+
+def test_fused_path_under_spatial_mesh():
+    """The fused (TPU) form compiles and matches under row sharding.
+
+    Real multi-chip TPUs take force-fused UpsampleConv through XLA SPMD; the
+    border strips slice across shard boundaries, so validate equivalence on
+    the virtual CPU mesh explicitly (the CPU fallback would otherwise hide
+    the fused path from the sharded test suite).
+    """
+    from singlehdr_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(2, 32, 32, 6).astype(np.float32)
+    mod = UpsampleConv(4, act="leaky_relu", force_fused=True)
+    v = mod.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 6)))
+
+    fwd = jax.jit(lambda v, a: mod.apply(v, a))
+    ref = np.asarray(fwd(v, jnp.asarray(x)))
+
+    mesh = make_mesh(8, spatial=4)
+    xs = jax.device_put(x, batch_sharding(mesh, spatial_dim=1))
+    out = np.asarray(fwd(replicate(mesh, v), xs))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
