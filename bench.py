@@ -81,19 +81,28 @@ def bench_forward():
 
     log("devices:", jax.devices())
     pipe = ReverseCameraPipeline(dtype=jnp.dtype(DTYPE))
-    ldr = jnp.asarray(
-        np.random.RandomState(0).rand(BATCH, SIZE, SIZE, 3), jnp.float32
-    )
-    t0 = time.time()
-    variables = jax.jit(pipe.init)(jax.random.PRNGKey(0), ldr[:1])
-    jax.block_until_ready(variables)
-    log(f"init: {time.time() - t0:.1f}s")
+    batch = BATCH
+    rng = np.random.RandomState(0)
 
-    fwd = jax.jit(lambda v, x: pipe.apply(v, x).hdr)
-    t0 = time.time()
-    out = fwd(variables, ldr)
-    out.block_until_ready()
-    log(f"compile+first: {time.time() - t0:.1f}s")
+    def build(batch):
+        ldr = jnp.asarray(rng.rand(batch, SIZE, SIZE, 3), jnp.float32)
+        t0 = time.time()
+        variables = jax.jit(pipe.init)(jax.random.PRNGKey(0), ldr[:1])
+        jax.block_until_ready(variables)
+        log(f"init: {time.time() - t0:.1f}s")
+        fwd = jax.jit(lambda v, x: pipe.apply(v, x).hdr)
+        t0 = time.time()
+        out = fwd(variables, ldr)
+        out.block_until_ready()
+        log(f"compile+first: {time.time() - t0:.1f}s")
+        return fwd, variables, ldr
+
+    try:
+        fwd, variables, ldr = build(batch)
+    except Exception as e:  # e.g. HBM OOM on a smaller-memory chip variant
+        log(f"batch {batch} failed ({type(e).__name__}); retrying at 64")
+        batch = 64
+        fwd, variables, ldr = build(batch)
 
     for _ in range(WARMUP):
         fwd(variables, ldr).block_until_ready()
@@ -102,8 +111,8 @@ def bench_forward():
         out = fwd(variables, ldr)
     out.block_until_ready()
     dt = time.time() - t0
-    img_s = BATCH * ITERS / dt
-    log(f"{img_s:.2f} img/s  ({dt / ITERS * 1000:.1f} ms/batch of {BATCH})")
+    img_s = batch * ITERS / dt
+    log(f"{img_s:.2f} img/s  ({dt / ITERS * 1000:.1f} ms/batch of {batch})")
     _emit(
         "HDR-Real 512x512 images/sec/chip (full 4-net pipeline)",
         img_s,
