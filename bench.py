@@ -41,10 +41,10 @@ CPU_BASELINE_IMG_S = 0.174
 # (153.9 s/step measured 2026-08-16).
 CPU_BASELINE_TRAIN_IMG_S = 0.104
 
-# Best measured throughput config on v5e.  b96 became compilable once the
-# round-2 memory work landed (fused upsample-convs + NCHW feature stack);
-# b64: 90.8 img/s, b96: 121.3, b128: OOM.
-BATCH = 96
+# Best measured throughput config on v5e.  Large batches became compilable
+# once the round-2 memory work landed (fused upsample-convs + NCHW feature
+# stack); b64: 90.8 img/s, b96: 121.3, b112: 130.7, b128: OOM.
+BATCH = 112
 SIZE = 512
 WARMUP = 2
 ITERS = 8
