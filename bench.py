@@ -12,7 +12,7 @@ once on this machine with this framework's own CPU backend (see
 tools/measure_cpu_baseline.py) to avoid re-burning bench time every round.
 
 Modes:
-  (default)   inference forward, batch 64 @ 512^2 — the headline number
+  (default)   inference forward, batch 120 @ 512^2 — the headline number
   --train     joint deq+lin+hal train step, reference config batch 16 @ 256^2
               with full losses incl. VGG perceptual (joint_training.py:20-22);
               covers the north star's "≥5x TF2-CPU on joint training" clause.
@@ -43,8 +43,8 @@ CPU_BASELINE_TRAIN_IMG_S = 0.104
 
 # Best measured throughput config on v5e.  Large batches became compilable
 # once the round-2 memory work landed (fused upsample-convs + NCHW feature
-# stack); b64: 90.8 img/s, b96: 121.3, b112: 130.7, b128: OOM.
-BATCH = 112
+# stack); b64: 90.8 img/s, b96: 121.3, b112: 130.7, b120: 131.6, b128: OOM.
+BATCH = 120
 SIZE = 512
 WARMUP = 2
 ITERS = 8
