@@ -15,12 +15,12 @@ import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Floors ~2 dB / 0.04 below the measured r2 anchor (19.18 dB mu-PSNR / 0.898
-# mu-SSIM; untrained pipeline measures 12.5 dB / 0.837) so ordinary
-# run-to-run noise passes but a semantic regression (loss mis-wiring, broken
-# restore, channel swaps) fails.
-MIN_PSNR_MU = 17.0
-MIN_SSIM_MU = 0.85
+# Floors ~2 dB / 0.04 below the measured r2 anchor (21.9 dB mu-PSNR / 0.906
+# mu-SSIM after the extended run; untrained pipeline measures 12.5 dB /
+# 0.837) so ordinary run-to-run noise passes but a semantic regression
+# (loss mis-wiring, broken restore, channel swaps) fails.
+MIN_PSNR_MU = 19.5
+MIN_SSIM_MU = 0.87
 
 
 def _latest_artifact():
