@@ -63,20 +63,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _emit(metric, img_s, baseline):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(img_s, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(img_s / baseline, 2),
-            }
-        )
-    )
+def _is_oom(e: Exception) -> bool:
+    """Only HBM exhaustion justifies the smaller-batch fallback; any other
+    failure (tracing bug, shape error) must surface, not silently demote the
+    headline to a batch-64 number (ADVICE r2)."""
+    return "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e)
 
 
-def bench_forward():
+def _emit(metric, img_s, baseline, extra=None):
+    rec = {
+        "metric": metric,
+        "value": round(img_s, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_s / baseline, 2),
+    }
+    rec.update(extra or {})
+    print(json.dumps(rec))
+
+
+def bench_forward(emit=True):
     from singlehdr_tpu.models import ReverseCameraPipeline
 
     log("devices:", jax.devices())
@@ -99,8 +104,10 @@ def bench_forward():
 
     try:
         fwd, variables, ldr = build(batch)
-    except Exception as e:  # e.g. HBM OOM on a smaller-memory chip variant
-        log(f"batch {batch} failed ({type(e).__name__}); retrying at 64")
+    except Exception as e:  # HBM OOM on a smaller-memory chip variant only
+        if not _is_oom(e):
+            raise
+        log(f"batch {batch} OOM; retrying at 64")
         batch = 64
         fwd, variables, ldr = build(batch)
 
@@ -113,14 +120,17 @@ def bench_forward():
     dt = time.time() - t0
     img_s = batch * ITERS / dt
     log(f"{img_s:.2f} img/s  ({dt / ITERS * 1000:.1f} ms/batch of {batch})")
-    _emit(
-        "HDR-Real 512x512 images/sec/chip (full 4-net pipeline)",
-        img_s,
-        CPU_BASELINE_IMG_S,
-    )
+    if emit:
+        _emit(
+            "HDR-Real 512x512 images/sec/chip (full 4-net pipeline)",
+            img_s,
+            CPU_BASELINE_IMG_S,
+            {"batch": batch},
+        )
+    return img_s, batch
 
 
-def bench_train():
+def bench_train(emit=True):
     from singlehdr_tpu.models import (
         DequantizationNet,
         HallucinationNet,
@@ -179,22 +189,48 @@ def bench_train():
     step_s = dt / TRAIN_ITERS
     img_s = b / step_s
     log(f"{img_s:.2f} img/s  ({step_s * 1000:.1f} ms/step of {b})")
+    mfu = None
     if flops:
         mfu = flops / step_s / (PEAK_BF16_TFLOPS * 1e12)
         log(f"XLA-counted flops/step: {flops / 1e12:.2f} TF  MFU: {mfu * 100:.1f}%")
-    _emit(
-        "joint deq+lin+hal training images/sec/chip (batch 16 @ 256^2, full losses)",
-        img_s,
-        CPU_BASELINE_TRAIN_IMG_S,
-    )
+    if emit:
+        _emit(
+            "joint deq+lin+hal training images/sec/chip (batch 16 @ 256^2, full losses)",
+            img_s,
+            CPU_BASELINE_TRAIN_IMG_S,
+        )
+    return img_s, mfu
 
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--train", action="store_true")
+    p.add_argument("--train", action="store_true",
+                   help="measure ONLY the joint train step and emit its metric")
+    p.add_argument("--forward-only", action="store_true",
+                   help="skip the train-step clause of the default bench")
     p.add_argument("--batch", type=int, default=None,
                    help="override the forward bench batch (experiments only)")
     a = p.parse_args()
     if a.batch:
         BATCH = a.batch
-    bench_train() if a.train else bench_forward()
+    if a.train:
+        bench_train()
+    elif a.forward_only:
+        bench_forward()
+    else:
+        # Default: one JSON line carrying BOTH BASELINE.json clauses — the
+        # headline forward metric plus the joint-training numbers the north
+        # star names (VERDICT r2 weak #7) as extra keys.
+        img_s, batch = bench_forward(emit=False)
+        train_img_s, mfu = bench_train(emit=False)
+        _emit(
+            "HDR-Real 512x512 images/sec/chip (full 4-net pipeline)",
+            img_s,
+            CPU_BASELINE_IMG_S,
+            {
+                "batch": batch,
+                "train_img_s": round(train_img_s, 3),
+                "train_vs_baseline": round(train_img_s / CPU_BASELINE_TRAIN_IMG_S, 2),
+                "train_mfu_pct": round(mfu * 100, 1) if mfu else None,
+            },
+        )

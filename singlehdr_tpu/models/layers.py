@@ -110,6 +110,8 @@ class PackedConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
         from singlehdr_tpu.ops.packed_conv import packed_conv, packed_conv_supported
 
         kernel = self.param(
@@ -119,8 +121,12 @@ class PackedConv(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        # SINGLEHDR_FORCE_PACKED_CONV=1 engages the packed transform off-TPU
+        # too — used by the CPU training-convergence A/B test, where the
+        # default backend gate would silently compare dense against dense.
+        force = os.environ.get("SINGLEHDR_FORCE_PACKED_CONV") == "1"
         if (
-            jax.default_backend() == "tpu"
+            (jax.default_backend() == "tpu" or force)
             and self.features <= self.max_pack_cout
             and packed_conv_supported(x.shape, self.features)
         ):

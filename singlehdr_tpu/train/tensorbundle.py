@@ -482,7 +482,29 @@ def write_bundle(prefix: str, tensors: Mapping[str, np.ndarray]) -> None:
     data = bytearray()
     index_entries: List[Tuple[bytes, bytes]] = [(b"", _serialize_header(1))]
     for key in sorted(tensors):
-        arr = np.asarray(tensors[key])
+        value = tensors[key]
+        if isinstance(value, (bytes, bytearray)):
+            # DT_STRING scalar (e.g. _CHECKPOINTABLE_OBJECT_GRAPH).  TF's
+            # on-disk string-tensor layout, confirmed against TF-2.21-written
+            # bundles: varint64 length per element, then a masked crc32c of
+            # the lengths *as little-endian uint32s* (not the varint bytes),
+            # then the concatenated string bytes.
+            u32_len = struct.pack("<I", len(value))
+            len_crc = _U32.pack(masked_crc32c(u32_len))
+            payload = _write_varint(len(value)) + len_crc + bytes(value)
+            e = BundleEntry()
+            e.dtype = DT_STRING
+            e.shape = ()
+            e.offset = len(data)
+            e.size = len(payload)
+            # the entry checksum runs over the *u32* form of the lengths,
+            # then the inner crc bytes, then the data (confirmed against
+            # TF-2.21-written bundles)
+            e.crc32c = masked_crc32c(u32_len + len_crc + bytes(value))
+            data += payload
+            index_entries.append((key.encode("utf-8"), e.serialize()))
+            continue
+        arr = np.asarray(value)
         if arr.ndim:  # ascontiguousarray promotes 0-d arrays to 1-d
             arr = np.ascontiguousarray(arr)
         if arr.dtype == np.float16:

@@ -242,12 +242,18 @@ def export_reference_checkpoint(
     """Write one net's Flax variables as a reference-format TF2 checkpoint.
 
     Emits a TensorBundle at ``prefix`` with the reference's key layout
-    (universal model slot ``lin``, tf_utils.py:157-160) so weights trained in
-    this framework load into the reference's ``tf.train.Checkpoint`` restore
-    path (restore tolerates the absent optimizer slots).  Returns the number
+    (universal model slot ``lin``, tf_utils.py:157-160), the
+    ``_CHECKPOINTABLE_OBJECT_GRAPH`` proto TF2's object-based restore walks
+    (train.object_graph), an int32 ``epoch`` matching the reference's
+    ``tf.Variable(0)``, and a ``checkpoint`` manager-state file so
+    ``tf.train.latest_checkpoint`` finds it.  Verified end-to-end against
+    real TF in tests/test_tf_parity.py: ``tf.train.Checkpoint(epoch, lin=
+    <reference model>, optimizer).restore(prefix)`` binds every model
+    variable (optimizer slots are absent and tolerated).  Returns the number
     of tensors written.
     """
     from singlehdr_tpu.train import tensorbundle
+    from singlehdr_tpu.train.object_graph import build_object_graph
 
     inverse: Dict[str, str] = {}
     for attr, module_path in NET_MAPS[net].items():
@@ -259,8 +265,8 @@ def export_reference_checkpoint(
     _INV_BN_P = {"scale": "gamma", "bias": "beta"}
     _INV_BN_S = {"mean": "moving_mean", "var": "moving_variance"}
 
-    tensors: Dict[str, np.ndarray] = {
-        "epoch/.ATTRIBUTES/VARIABLE_VALUE": np.asarray(0.0, np.float32),
+    tensors: Dict[str, Any] = {
+        "epoch/.ATTRIBUTES/VARIABLE_VALUE": np.asarray(0, np.int32),
         "save_counter/.ATTRIBUTES/VARIABLE_VALUE": np.asarray(1, np.int64),
     }
 
@@ -295,7 +301,19 @@ def export_reference_checkpoint(
             continue
         tensors[f"lin/{attr}/{tf_var}{_SUFFIX}"] = np.asarray(value, np.float32)
 
+    tensors["_CHECKPOINTABLE_OBJECT_GRAPH"] = build_object_graph(tensors)
     tensorbundle.write_bundle(prefix, tensors)
+    # CheckpointManager state file (CheckpointState text proto) so
+    # tf.train.latest_checkpoint / CheckpointManager discover the export.
+    import os
+
+    base = os.path.basename(prefix)
+    state = (
+        f'model_checkpoint_path: "{base}"\n'
+        f'all_model_checkpoint_paths: "{base}"\n'
+    )
+    with open(os.path.join(os.path.dirname(prefix) or ".", "checkpoint"), "w") as f:
+        f.write(state)
     return len(tensors)
 
 
@@ -433,12 +451,14 @@ def import_net_weights(
     imported = reference_keys_to_tree(net, raw)
     if channel_order == "bgr":
         imported = adapt_channel_order(net, imported)
+    carried = 0
     if net == "hal" and "preproc_mean" not in imported["batch_stats"]:
         # framework-only constant, absent from reference checkpoints: carry
         # the target's default instead of reporting it as an unmapped param
         tgt = target_variables.get("batch_stats", {}).get("preproc_mean")
         if tgt is not None:
             imported["batch_stats"]["preproc_mean"] = np.asarray(tgt)
+            carried = 1
 
     stats = {"imported": 0, "kept": 0}
 
@@ -465,5 +485,8 @@ def import_net_weights(
             target_variables.get("batch_stats", {}), imported["batch_stats"]
         ),
     }
+    # the carried framework-default is not checkpoint data
+    stats["imported"] -= carried
+    stats["kept"] += carried
     out["_import_stats"] = dict(stats)
     return out

@@ -192,8 +192,15 @@ def test_channel_adapter_hal():
 
 @pytest.mark.parametrize("net", ["deq", "ref", "lin", "hal"])
 def test_vendored_index_matches_inventory(net):
-    """The committed binary .index fixtures stay in sync with the inventory
-    (guards both the TensorBundle byte format and the key layout)."""
+    """The committed binary .index fixtures stay in sync with the inventory.
+
+    Provenance: these fixtures were produced by this repo's own writer
+    (tensorbundle.write_bundle over ref_inventory-shaped zeros), so alone they
+    guard regressions, not TF compatibility (ADVICE r2).  The non-circular
+    anchors are tests/test_tf_parity.py, which verifies the reader byte-exact
+    against tf.train.load_checkpoint on genuine TF-written bundles and the
+    writer against TF2's object-based restore, plus the hand-assembled byte
+    tests in test_tensorbundle.py."""
     import os
 
     prefix = os.path.join(
