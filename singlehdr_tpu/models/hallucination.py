@@ -52,7 +52,7 @@ class DecoderStage(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = UpsampleConv(self.features, act="relu", dtype=self.dtype, name="conv")(x)
-        x = nn.relu(batch_norm(train, name="bn")(x))
+        x = nn.relu(batch_norm(train, name="bn", dtype=self.dtype)(x))
         return x
 
 
@@ -167,7 +167,7 @@ class HallucinationNet(nn.Module):
             skips.append(s)
 
         x = conv(512, 3, dtype=self.dtype, name="latent_conv")(x)
-        x = nn.relu(batch_norm(train, name="latent_bn")(x))
+        x = nn.relu(batch_norm(train, name="latent_bn", dtype=self.dtype)(x))
 
         for i, skip in zip(range(len(_ENC), 0, -1), reversed(skips)):
             f = _ENC[i - 1][0]
@@ -177,7 +177,7 @@ class HallucinationNet(nn.Module):
         # 3-channel tail in NCHW: NHWC would carry every [.,3] tensor padded
         # to 128 lanes through head_conv/BN/skip0 (~4 GB each at b64 @ 512^2)
         x = _HeadConvToNCHW(3, dtype=self.dtype, name="head_conv")(x)
-        x = nn.relu(batch_norm(train, name="head_bn", axis=1)(x))
+        x = nn.relu(batch_norm(train, name="head_bn", axis=1, dtype=self.dtype)(x))
         x = SkipFusion(3, dtype=self.dtype, nchw=True, name="skip0")(
             x, jnp.transpose(bgr, (0, 3, 1, 2))
         )

@@ -66,18 +66,30 @@ def dense(features: int, *, dtype: Dtype = jnp.float32, name: str | None = None)
 
 
 def batch_norm(
-    train: bool, *, name: str | None = None, axis: int = -1
+    train: bool,
+    *,
+    name: str | None = None,
+    axis: int = -1,
+    dtype: Dtype = jnp.float32,
 ) -> nn.BatchNorm:
-    """BatchNorm with Keras constants; statistics and affine math in f32.
+    """BatchNorm with Keras constants.
 
     ``axis`` selects the feature axis (1 for NCHW activations); parameter
     shapes and names are identical either way, so checkpoints interchange.
+
+    ``dtype`` is the computation dtype.  Batch-statistic REDUCTIONS are always
+    f32 (training stability); but the per-element normalize is just an affine
+    scale+shift, and forcing it to f32 between bf16 convs materializes
+    full-size f32 intermediates — at b64 @ 256^2 x 128ch that is a 4.3 GB
+    tensor and tens of ms of pure HBM tax per decoder stage (measured r3).
+    Callers pass their compute dtype; training reductions stay exact because
+    flax upcasts the moment computation internally.
     """
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=BN_MOMENTUM,
         epsilon=BN_EPSILON,
-        dtype=jnp.float32,
+        dtype=dtype,
         param_dtype=jnp.float32,
         axis=axis,
         name=name,
@@ -198,56 +210,4 @@ class UpsampleConv(nn.Module):
         if self.act == "relu":
             return nn.relu(y)
         assert self.act is None, self.act
-        return y
-
-
-class StripConv(nn.Module):
-    """Drop-in replacement for ``conv`` computed by the Pallas strip-conv
-    kernel (ops.pallas.strip_conv_pallas) — the inference fast path for the
-    MXU-underfilled small-channel stages (Cout <= 16 at high resolution).
-
-    Parameter names/shapes match nn.Conv exactly ('kernel' HWIO, 'bias'), so
-    checkpoints interchange freely with the dense path.  Forward-only: no
-    custom VJP — training must use the dense convs.  Falls back to XLA when
-    the static shape doesn't satisfy the kernel's strip constraint.
-    """
-
-    features: int
-    kernel: tuple
-    act: str | None = None
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from singlehdr_tpu.ops.pallas.strip_conv_pallas import (
-            strip_conv,
-            strip_conv_supported,
-        )
-
-        kernel = self.param(
-            "kernel",
-            glorot(),
-            (*self.kernel, x.shape[-1], self.features),
-            jnp.float32,
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        if jax.default_backend() == "tpu" and strip_conv_supported(
-            x.shape, self.features
-        ):
-            return strip_conv(
-                x.astype(self.dtype), kernel.astype(self.dtype), bias, act=self.act
-            )
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            (1, 1),
-            "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + bias.astype(self.dtype)
-        if self.act == "leaky_relu":
-            return leaky_relu(y)
-        if self.act == "relu":
-            return nn.relu(y)
-        if self.act == "tanh":
-            return jnp.tanh(y)
         return y

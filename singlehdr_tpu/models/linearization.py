@@ -47,15 +47,15 @@ class BottleneckResBlock(nn.Module):
         f1, f2, f3 = self.filters
         if self.projection:
             shortcut = conv(f3, 1, strides=self.strides, use_bias=False, dtype=self.dtype, name="proj_conv")(x)
-            shortcut = batch_norm(train, name="proj_bn")(shortcut)
+            shortcut = batch_norm(train, name="proj_bn", dtype=self.dtype)(shortcut)
         else:
             shortcut = x
         h = conv(f1, 1, strides=self.strides, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        h = nn.relu(batch_norm(train, name="bn1")(h))
+        h = nn.relu(batch_norm(train, name="bn1", dtype=self.dtype)(h))
         h = conv(f2, 3, use_bias=False, dtype=self.dtype, name="conv2")(h)
-        h = nn.relu(batch_norm(train, name="bn2")(h))
+        h = nn.relu(batch_norm(train, name="bn2", dtype=self.dtype)(h))
         h = conv(f3, 1, use_bias=False, dtype=self.dtype, name="conv3")(h)
-        h = batch_norm(train, name="bn3")(h)
+        h = batch_norm(train, name="bn3", dtype=self.dtype)(h)
         return nn.relu(shortcut + h)
 
 
@@ -67,7 +67,7 @@ class CrfFeatureNet(nn.Module):
     @nn.compact
     def __call__(self, feats: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         h = conv(64, 7, strides=2, dtype=self.dtype, name="stem")(feats)
-        h = nn.relu(batch_norm(train, name="stem_bn")(h))
+        h = nn.relu(batch_norm(train, name="stem_bn", dtype=self.dtype)(h))
         h = max_pool(h, 3, 2, "SAME")
         h = BottleneckResBlock((64, 64, 256), projection=True, dtype=self.dtype, name="res1")(h, train)
         h = BottleneckResBlock((64, 64, 256), dtype=self.dtype, name="res2")(h, train)
