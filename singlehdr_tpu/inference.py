@@ -104,6 +104,29 @@ class HdrPredictor:
         """[h,w,3] float32 RGB in [0,1] -> [h,w,3] float32 HDR (RGB)."""
         return self.predict_batch([rgb01])[0]
 
+    def warmup(self, sizes, batch_sizes=(1,)) -> None:
+        """Pre-compile (bucket, batch) executables so first requests don't pay
+        the multi-second XLA compile.
+
+        ``sizes`` are *input* (h, w) pairs — each is mapped through
+        ``bucket_key`` exactly like a request would be.  Compiled entries land
+        in the same warm-set ``predict_batch`` consults, so a later group of
+        n <= max(batch_sizes) images runs immediately on the nearest warm
+        executable.
+        """
+        for hw in sizes:
+            rh, rw = self.bucket_key(hw)
+            key = (rh, rw)
+            warm = self._warm.setdefault(key, set())
+            for n in sorted(set(batch_sizes)):
+                if n in warm:
+                    continue
+                x = jnp.zeros(
+                    (n, rh + 2 * self.pad, rw + 2 * self.pad, 3), jnp.float32
+                )
+                jax.block_until_ready(self._fwd(self.variables, x))
+                warm.add(n)
+
     def predict_batch(self, images) -> list:
         """Run same-bucket images as one device batch.
 

@@ -86,7 +86,7 @@ class MicroBatcher:
         self,
         predictor: HdrPredictor,
         stats: _Stats,
-        max_batch: int = 8,
+        max_batch: int = 32,
         window_s: float = 0.01,
     ):
         self._predictor = predictor
@@ -178,7 +178,7 @@ def make_server(
     predictor: HdrPredictor,
     host: str = "127.0.0.1",
     port: int = 8080,
-    max_batch: int = 8,
+    max_batch: int = 32,
     batch_window_s: float = 0.01,
 ):
     """Build (not start) the HTTP server around a predictor."""
