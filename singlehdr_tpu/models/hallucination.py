@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from singlehdr_tpu.models.layers import UpsampleConv, batch_norm, conv
@@ -26,15 +27,56 @@ from singlehdr_tpu.ops.color import vgg_preprocess
 from singlehdr_tpu.ops.resize import max_pool
 
 
+class _ConvParams(nn.Module):
+    """Owns an nn.Conv-compatible (kernel, bias) pair without computing the
+    conv — the fused encoder kernel consumes the raw weights.  Param names,
+    shapes, and initializers match ``layers.conv`` exactly, so the fused and
+    dense paths share one checkpoint layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(),
+            (3, 3, cin, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class EncoderStage(nn.Module):
-    """n_convs ReLU convs then 2x2/2 max-pool; returns (pooled, pre-pool skip)."""
+    """n_convs ReLU convs then 2x2/2 max-pool; returns (pooled, pre-pool skip).
+
+    Eval-mode 2-conv stages on TPU run as one fused Pallas pass
+    (ops.pallas.enc_pool_pallas): the conv1 activation never touches HBM and
+    the pool shares the conv2 pass — the dense XLA form pads C=64 NHWC
+    tensors 2x in the lane dim and materializes every intermediate
+    (BENCH_NOTES r3).  Training (and any unsupported shape) uses the dense
+    convs; parameters are identical between the paths."""
 
     features: int
     n_convs: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        from singlehdr_tpu.ops.pallas.enc_pool_pallas import (
+            encoder_stage2,
+            supported,
+        )
+
+        if (
+            not train
+            and self.n_convs == 2
+            and jax.default_backend() == "tpu"
+            and supported(x.shape, self.features)
+        ):
+            k1, b1 = _ConvParams(self.features, name="conv1")(x.shape[-1])
+            k2, b2 = _ConvParams(self.features, name="conv2")(self.features)
+            return encoder_stage2(x, k1, b1, k2, b2)
         for i in range(self.n_convs):
             x = nn.relu(conv(self.features, 3, dtype=self.dtype, name=f"conv{i + 1}")(x))
         return max_pool(x, 2, 2, "SAME"), x
@@ -118,6 +160,36 @@ class _HeadConvToNCHW(nn.Module):
         return out + bias.astype(out.dtype)[None, :, None, None]
 
 
+class _SplitConv1x1(nn.Module):
+    """1x1 conv over concat(x, y) computed as two matmuls summed.
+
+    The concat form materializes a [., 2C] tensor (a full extra HBM
+    round-trip of both operands — ~4 GB at dec2's b64 @ 256^2 x 256ch)
+    purely to feed a contraction XLA could split; the two-einsum form reads
+    each operand once, and the preceding BN/ReLU and the skip's /255 scale
+    fuse into the matmul operands.  Parameters ('kernel' [1,1,cx+cy,f],
+    'bias') are identical to nn.Conv over the concat, so checkpoints
+    interchange with the reference layout."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        cx, cy = x.shape[-1], y.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(),
+            (1, 1, cx + cy, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        k = kernel[0, 0].astype(self.dtype)
+        out = jnp.einsum("bhwc,co->bhwo", x.astype(self.dtype), k[:cx])
+        out = out + jnp.einsum("bhwc,co->bhwo", y.astype(self.dtype), k[cx:])
+        return out + bias.astype(out.dtype)
+
+
 class SkipFusion(nn.Module):
     """concat(x, skip/255) then 1x1 conv (hallucination_net.py:93-107).
 
@@ -136,8 +208,7 @@ class SkipFusion(nn.Module):
                 self.features, dtype=self.dtype, nchw=self.nchw, name="conv"
             )(x, skip)
         assert not self.nchw, "wide NCHW skip fusion unsupported"
-        h = jnp.concatenate([x, skip], axis=-1)
-        return conv(self.features, 1, dtype=self.dtype, name="conv")(h)
+        return _SplitConv1x1(self.features, dtype=self.dtype, name="conv")(x, skip)
 
 
 _ENC = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
@@ -163,7 +234,7 @@ class HallucinationNet(nn.Module):
         x = bgr
         skips = []
         for i, (f, n) in enumerate(_ENC):
-            x, s = EncoderStage(f, n, dtype=self.dtype, name=f"enc{i + 1}")(x)
+            x, s = EncoderStage(f, n, dtype=self.dtype, name=f"enc{i + 1}")(x, train)
             skips.append(s)
 
         x = conv(512, 3, dtype=self.dtype, name="latent_conv")(x)

@@ -1,0 +1,290 @@
+"""Fused VGG-encoder-stage Pallas kernel: conv3x3+ReLU x2 + 2x2 max-pool.
+
+Why this exists (measured on v5e, b64 @ 512^2 bf16, BENCH_NOTES r3): the
+Hallucination-Net encoder's first two stages are the pipeline's worst
+HBM-traffic sites — XLA materializes the conv1 activation (4.3 GB at enc1)
+and pads every C=64 NHWC tensor 2x in the lane dim, so the pair runs at
+~49 TF/s against a memory roofline ~3x lower.  NCHW dimension numbers are
+slower still (35 ms/conv) and the packed-lane transform only breaks even at
+p=2 — reference experiments in BENCH_NOTES.  The fix has to control layout
+and fusion directly:
+
+  * the stage input arrives **NCHW with H zero-padded by 2** rows top and
+    bottom ([B, C, Hp, W], C sublane-tile-padded), flattened to
+    [B, C, Hp*W] so one grid step DMAs its (TH+4)-row slab as a single
+    lane-contiguous slice — conv1+conv2 halos included, rows arriving
+    pre-zeroed so no boundary clamps exist in the kernel,
+  * conv1 runs for the whole block as ONE [F, 9C] x [9C, (TH+2)W] MXU
+    matmul: the im2col matrix is built from three 128-aligned lane slices
+    of the slab (kh taps) x three lane rotations with edge masks (kw taps)
+    — the conv1 activation lives only in VMEM, never in HBM,
+  * conv2 is ONE [(TH)W, 9F] x [9F, F] matmul at full contraction depth
+    with bias+ReLU fused,
+  * the 2x2/2 max-pool folds into the same pass as two sublane-pair
+    reductions; the pooled tensor and the pre-pool activation (the stage's
+    skip output) are the only HBM writes, both NHWC for the downstream
+    consumers.
+
+Mosaic's lane rotate is 32-bit-only, so bf16 rows rotate through an f32
+round-trip (pure VPU work, small next to the matmuls).
+
+Semantics are exactly ``max_pool(relu(conv2(relu(conv1(x)))))`` with SAME
+padding and the skip being the pre-pool activation (hallucination_net.py:
+43-57).  Forward-only: the hallucination encoder has no BN and training
+forwards take the dense path (models/hallucination.py gates on ``train``),
+so no custom VJP is needed.  Off-TPU callers use the identical-math XLA
+fallback below.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Mosaic's default scoped-VMEM stack limit is 16M; the kernel raises it via
+# CompilerParams (v5e has 128M physical VMEM) and budgets against that.
+_VMEM_LIMIT = 64 * 1024 * 1024
+_VMEM_BUDGET = 40 * 1024 * 1024
+
+
+def _pad_c(c: int) -> int:
+    return c if c % 8 == 0 else c + (8 - c % 8)
+
+
+def _vmem_bytes(th: int, c: int, f: int, w: int) -> int:
+    """Estimate of the kernel's peak VMEM residency at block height ``th``
+    (calibrated against the compiler's scoped-vmem accounting, which counts
+    each live buffer once)."""
+    bf2 = 2
+    slab = c * (th + 4) * w * bf2
+    col1 = 9 * c * (th + 2) * w * bf2
+    c1buf = f * (th + 2) * w * bf2
+    acc = th * w * f * 4                       # f32 conv2 accumulator
+    piece = 3 * f * th * w * bf2               # one kh tap's kw-concat
+    outs = (th * w * f + (th // 2) * (w // 2) * f) * bf2
+    weights = (f * 9 * c + 9 * f * f) * bf2
+    return slab + col1 + c1buf + acc + piece + outs + weights
+
+
+def _pick_th(h: int, c: int, f: int, w: int):
+    for th in (32, 16, 8):
+        if h % th == 0 and _vmem_bytes(th, c, f, w) < _VMEM_BUDGET:
+            return th
+    return None
+
+
+def supported(x_shape: Tuple[int, ...], f: int) -> bool:
+    """Static gate for NHWC input [B, H, W, C] and F output channels.
+
+    Opt-in for now: the current whole-block design measures 0.88x of the XLA
+    dense path on enc1 (BENCH_NOTES r3) — the conv2 matmul's N=F=64 output
+    orientation half-fills the MXU.  Enable with SINGLEHDR_FUSED_ENC=1 while
+    iterating; flips on by default once it wins."""
+    if os.environ.get("SINGLEHDR_FUSED_ENC", "0") != "1":
+        return False
+    if len(x_shape) != 4:
+        return False
+    b, h, w, c = x_shape
+    if not (w % 128 == 0 and f % 8 == 0 and h % 8 == 0 and h >= 16):
+        return False
+    return _pick_th(h, _pad_c(c), f, w) is not None
+
+
+def _edge_masks(w, lanes, dtype):
+    """(left, right) multiplicative edge masks of shape [1, lanes]: 0 where a
+    lane rotation crossed a row border (w == 0 / w == W-1), else 1.
+
+    Arithmetic (min against 1) instead of compare+select: Mosaic cannot
+    relayout the i1 vectors a compare produces into the 16x128 bf16 tiling
+    the masked multiply needs."""
+    wpos = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1) % w
+    return (
+        jnp.minimum(wpos, 1).astype(dtype),
+        jnp.minimum(w - 1 - wpos, 1).astype(dtype),
+    )
+
+
+def _roll1(x, shift):
+    """Lane rotation by a static shift.  Mosaic's rotate is 32-bit-only, so
+    bf16 data rotates as an i32 view (adjacent sublane pairs pack into one
+    word; lanes shift identically) — no f32 round-trip, half the vregs."""
+    lanes = x.shape[-1]
+    if x.dtype == jnp.bfloat16 and x.shape[0] % 2 == 0:
+        v = pltpu.bitcast(x, jnp.int32)
+        return pltpu.bitcast(pltpu.roll(v, shift % lanes, 1), jnp.bfloat16)
+    return pltpu.roll(x.astype(jnp.float32), shift % lanes, 1).astype(x.dtype)
+
+
+def _rolled_taps(piece, masks):
+    """kw in (-1, 0, +1) tap views of a [C, R*W] block, zeroed at row edges.
+
+    Rolls cross the merged row boundaries; the masks kill exactly those lanes
+    (w == 0 for the left tap, w == W-1 for the right), which matches SAME
+    zero-padding.
+    """
+    ml, mr = masks
+    lanes = piece.shape[-1]
+    left = _roll1(piece, 1) * ml[:, :lanes]
+    right = _roll1(piece, -1) * mr[:, :lanes]
+    return left, piece, right
+
+
+def _kernel(
+    x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, pool_ref, skip_ref, slab, c1buf,
+    sem, *, TH, W, CIN, F, NH,
+):
+    i_b = pl.program_id(0)
+    i_h = pl.program_id(1)
+    r1 = TH + 2                                # conv1 rows computed
+    masks = _edge_masks(W, r1 * W, slab.dtype)
+
+    pltpu.make_async_copy(
+        x_hbm.at[i_b, :, pl.ds(i_h * TH * W, (TH + 4) * W)], slab, sem
+    ).start()
+    pltpu.make_async_copy(
+        x_hbm.at[i_b, :, pl.ds(i_h * TH * W, (TH + 4) * W)], slab, sem
+    ).wait()
+
+    # conv1: one [F, 9C] x [9C, r1*W] matmul over the whole block
+    parts = []
+    for dh in range(3):                        # kh-major, kw, C blocks
+        piece = slab[:, pl.ds(dh * W, r1 * W)]
+        parts.extend(_rolled_taps(piece, masks))
+    col1 = jnp.concatenate(parts, axis=0)      # [9C, r1*W]
+    out1 = jax.lax.dot_general(
+        w1_ref[:], col1,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                          # [F, r1*W]
+    out1 = jnp.maximum(out1 + b1_ref[:].astype(jnp.float32), 0.0)
+    c1buf[:] = out1.astype(c1buf.dtype)
+
+    # rows beyond the image top/bottom must be zero for conv2's SAME pad
+    # (the zero-padded input makes them relu(bias) instead)
+    @pl.when(i_h == 0)
+    def _():
+        c1buf[:, pl.ds(0, W)] = jnp.zeros((F, W), c1buf.dtype)
+
+    @pl.when(i_h == NH - 1)
+    def _():
+        c1buf[:, pl.ds((r1 - 1) * W, W)] = jnp.zeros((F, W), c1buf.dtype)
+
+    # conv2: three accumulated [TH*W, 3F] x [3F, F] matmuls (one per kh tap)
+    # — materializing the full [9F, TH*W] im2col would blow the 16M scoped
+    # VMEM stack at useful block heights
+    out2 = jnp.zeros((TH * W, F), jnp.float32)
+    for dh in range(3):
+        piece = c1buf[:, pl.ds(dh * W, TH * W)]
+        col = jnp.concatenate(_rolled_taps(piece, masks), axis=0)  # [3F, TH*W]
+        out2 = out2 + jax.lax.dot_general(
+            col, w2_ref[pl.ds(dh * 3 * F, 3 * F)],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out2 = jnp.maximum(out2 + b2_ref[:].astype(jnp.float32), 0.0)
+    act = out2.astype(skip_ref.dtype).reshape(TH, W, F)
+    skip_ref[0] = act
+
+    hmax = jnp.max(act.reshape(TH, W // 2, 2, F), axis=2)
+    pool_ref[0] = jnp.max(hmax.reshape(TH // 2, 2, W // 2, F), axis=1)
+
+
+def _xla_reference(x_nhwc, w1, b1, w2, b2):
+    """Identical-math XLA path (and test oracle): NHWC in, NHWC out."""
+    y = x_nhwc
+    for w, b in ((w1, b1), (w2, b2)):
+        y = jax.lax.conv_general_dilated(
+            y, w.astype(y.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = jax.nn.relu(y + b.astype(y.dtype))
+    pooled = jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
+    )
+    return pooled, y
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encoder_stage2(x_nhwc, w1, b1, w2, b2, interpret: bool = False):
+    """Fused 2-conv VGG encoder stage.
+
+    Args:
+      x_nhwc: [B, H, W, C] stage input (bf16 or f32).
+      w1: [3, 3, C, F] HWIO kernel of the first conv.
+      b1: [F] bias of the first conv.
+      w2: [3, 3, F, F] HWIO kernel of the second conv.
+      b2: [F] bias of the second conv.
+
+    Returns:
+      (pooled, skip): [B, H/2, W/2, F] and [B, H, W, F], both NHWC —
+      ``pooled = maxpool2x2(skip)``, ``skip = relu(conv2(relu(conv1(x))))``.
+    """
+    B, H, W, C = x_nhwc.shape
+    F = w1.shape[-1]
+    if not supported(x_nhwc.shape, F):
+        return _xla_reference(x_nhwc, w1, b1, w2, b2)
+    dt = x_nhwc.dtype
+    Cp = _pad_c(C)
+    TH = _pick_th(H, Cp, F, W)
+    if C != Cp:
+        w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
+    # NCHW, H zero-padded by the conv1+conv2 halo, rows flattened into lanes
+    x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
+    x = jnp.pad(x, ((0, 0), (0, Cp - C), (2, 2), (0, 0)))
+    x = x.reshape(B, Cp, (H + 4) * W)
+    w1m = jnp.transpose(w1.astype(dt).reshape(9 * Cp, F))  # [F, 9Cp]
+    w2m = w2.astype(dt).reshape(9 * F, F)                  # [9F, F]
+    b1c = b1.reshape(F, 1).astype(jnp.float32)
+    b2r = b2.reshape(1, F).astype(jnp.float32)
+    grid = (B, H // TH)
+    kernel = functools.partial(
+        _kernel, TH=TH, W=W, CIN=Cp, F=F, NH=H // TH
+    )
+    pooled, skip = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((F, 9 * Cp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * F, F), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, TH // 2, W // 2, F), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, TH, W, F), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H // 2, W // 2, F), dt),
+            jax.ShapeDtypeStruct((B, H, W, F), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Cp, (TH + 4) * W), dt),
+            pltpu.VMEM((F, (TH + 2) * W), dt),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * (Cp + F) * F * H * W * B,
+            bytes_accessed=B * H * W * 2 * (Cp + F + F // 4),
+            transcendentals=0,
+        ),
+    )(x, w1m, b1c, w2m, b2r)
+    return pooled, skip

@@ -123,6 +123,12 @@ def upsample_conv_x2(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     y_left = w_ring(x[:, :, :2], True)
     y_right = w_ring(x[:, :, -2:], False)
 
-    y = jnp.concatenate([y_top, y[:, 1:-1], y_bot], axis=1)
-    y = jnp.concatenate([y_left, y[:, :, 1:-1], y_right], axis=2)
+    # paste via thin in-place updates: the former concatenate-of-slices form
+    # materialized two full copies of the [b, 2h, 2w, cout] tensor (an extra
+    # ~8 GB of traffic at dec1's b64 @ 512^2) just to replace 1-pixel rings.
+    # W rings last so they own the corners (same precedence as before).
+    y = y.at[:, :1].set(y_top)
+    y = y.at[:, -1:].set(y_bot)
+    y = y.at[:, :, :1].set(y_left)
+    y = y.at[:, :, -1:].set(y_right)
     return y

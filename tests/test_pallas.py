@@ -86,3 +86,38 @@ def test_custom_vjp_matches_autodiff_in_interpret_mode(rng):
 
     np.testing.assert_allclose(gx, np.asarray(gx_ref), atol=1e-4)
     np.testing.assert_allclose(grf, np.asarray(grf_ref), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused encoder-stage kernel (ops/pallas/enc_pool_pallas.py).  Mosaic-only
+# primitives (pltpu.roll/bitcast) don't run under the CPU interpreter, so the
+# kernel itself is validated on hardware; here we pin (a) the XLA fallback
+# oracle against the dense flax path it must equal, and (b) the static gate.
+
+
+def test_enc_pool_xla_reference_matches_dense_stage(rng):
+    from singlehdr_tpu.models.hallucination import EncoderStage
+    from singlehdr_tpu.ops.pallas.enc_pool_pallas import _xla_reference
+
+    x = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
+    stage = EncoderStage(features=8, n_convs=2)
+    v = stage.init(jax.random.PRNGKey(0), x)
+    pooled, skip = stage.apply(v, x)
+    p = v["params"]
+    pooled2, skip2 = _xla_reference(
+        x, p["conv1"]["kernel"], p["conv1"]["bias"],
+        p["conv2"]["kernel"], p["conv2"]["bias"],
+    )
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(pooled2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(skip), np.asarray(skip2), atol=1e-5)
+
+
+def test_enc_pool_gate_is_opt_in(monkeypatch):
+    from singlehdr_tpu.ops.pallas import enc_pool_pallas as m
+
+    monkeypatch.delenv("SINGLEHDR_FUSED_ENC", raising=False)
+    assert not m.supported((64, 512, 512, 3), 64)
+    monkeypatch.setenv("SINGLEHDR_FUSED_ENC", "1")
+    assert m.supported((64, 512, 512, 3), 64)
+    assert not m.supported((64, 512, 500, 3), 64)   # W % 128
+    assert not m.supported((64, 12, 512, 3), 64)    # H too small
