@@ -47,22 +47,30 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
-class EncoderStage(nn.Module):
-    """n_convs ReLU convs then 2x2/2 max-pool; returns (pooled, pre-pool skip).
+def _fused_enc_enabled() -> bool:
+    import os
 
-    Eval-mode 2-conv stages on TPU run as one fused Pallas pass
-    (ops.pallas.enc_pool_pallas): the conv1 activation never touches HBM and
-    the pool shares the conv2 pass — the dense XLA form pads C=64 NHWC
-    tensors 2x in the lane dim and materializes every intermediate
-    (BENCH_NOTES r3).  Training (and any unsupported shape) uses the dense
-    convs; parameters are identical between the paths."""
+    return os.environ.get("SINGLEHDR_FUSED_ENC", "1") == "1"
+
+
+class EncoderStage(nn.Module):
+    """n_convs ReLU convs then 2x2/2 max-pool.
+
+    Returns ``(pooled, skip, nchw)``: when ``nchw`` is True both outputs are
+    [b, c, h, w] — the eval-mode fused Pallas pass
+    (ops.pallas.enc_pool_pallas) keeps everything channels-major because the
+    dense XLA form pads C=64 NHWC tensors 2x in the lane dim and
+    materializes the conv1 activation (BENCH_NOTES r3).  Fused stages chain
+    without transposes; the skip is consumed channels-major by SkipFusion.
+    Training (and any unsupported shape/backend) uses the dense convs;
+    parameters are identical between the paths."""
 
     features: int
     n_convs: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
+    def __call__(self, x: jnp.ndarray, train: bool = False, nchw: bool = False):
         from singlehdr_tpu.ops.pallas.enc_pool_pallas import (
             encoder_stage2,
             supported,
@@ -71,15 +79,23 @@ class EncoderStage(nn.Module):
         if (
             not train
             and self.n_convs == 2
+            and _fused_enc_enabled()
             and jax.default_backend() == "tpu"
-            and supported(x.shape, self.features)
+            and supported(x.shape, self.features, nchw=nchw)
         ):
-            k1, b1 = _ConvParams(self.features, name="conv1")(x.shape[-1])
+            cin = x.shape[1] if nchw else x.shape[-1]
+            k1, b1 = _ConvParams(self.features, name="conv1")(cin)
             k2, b2 = _ConvParams(self.features, name="conv2")(self.features)
-            return encoder_stage2(x, k1, b1, k2, b2)
+            pooled, skip = encoder_stage2(
+                x, k1.astype(self.dtype), b1, k2.astype(self.dtype), b2,
+                nchw_in=nchw,
+            )
+            return pooled, skip, True
+        if nchw:
+            x = jnp.transpose(x, (0, 2, 3, 1))
         for i in range(self.n_convs):
             x = nn.relu(conv(self.features, 3, dtype=self.dtype, name=f"conv{i + 1}")(x))
-        return max_pool(x, 2, 2, "SAME"), x
+        return max_pool(x, 2, 2, "SAME"), x, False
 
 
 class DecoderStage(nn.Module):
@@ -173,10 +189,12 @@ class _SplitConv1x1(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    y_nchw: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-        cx, cy = x.shape[-1], y.shape[-1]
+        cx = x.shape[-1]
+        cy = y.shape[1] if self.y_nchw else y.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.glorot_uniform(),
             (1, 1, cx + cy, self.features), jnp.float32,
@@ -186,29 +204,41 @@ class _SplitConv1x1(nn.Module):
         )
         k = kernel[0, 0].astype(self.dtype)
         out = jnp.einsum("bhwc,co->bhwo", x.astype(self.dtype), k[:cx])
-        out = out + jnp.einsum("bhwc,co->bhwo", y.astype(self.dtype), k[cx:])
+        if self.y_nchw:
+            # channels-major skip (fused encoder output) reads at full lane
+            # bandwidth; the contraction is the same 1x1 conv
+            out = out + jnp.einsum("bihw,io->bhwo", y.astype(self.dtype), k[cx:])
+        else:
+            out = out + jnp.einsum("bhwc,co->bhwo", y.astype(self.dtype), k[cx:])
         return out + bias.astype(out.dtype)
 
 
 class SkipFusion(nn.Module):
     """concat(x, skip/255) then 1x1 conv (hallucination_net.py:93-107).
 
-    ``nchw=True`` runs the narrow (few-channel) form on [b, c, h, w]."""
+    ``nchw=True`` runs the narrow (few-channel) form on [b, c, h, w];
+    ``skip_nchw=True`` consumes a channels-major skip (fused encoder output)
+    with an NHWC ``x``."""
 
     features: int
     dtype: Any = jnp.float32
     nchw: bool = False
+    skip_nchw: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
         skip = skip.astype(x.dtype) / 255.0
         caxis = 1 if self.nchw else -1
-        if (x.shape[caxis] + skip.shape[caxis]) * self.features <= 64:
+        saxis = 1 if (self.nchw or self.skip_nchw) else -1
+        if (x.shape[caxis] + skip.shape[saxis]) * self.features <= 64:
+            assert not self.skip_nchw, "narrow mixed-layout fusion unsupported"
             return _NarrowConv1x1(
                 self.features, dtype=self.dtype, nchw=self.nchw, name="conv"
             )(x, skip)
         assert not self.nchw, "wide NCHW skip fusion unsupported"
-        return _SplitConv1x1(self.features, dtype=self.dtype, name="conv")(x, skip)
+        return _SplitConv1x1(
+            self.features, dtype=self.dtype, y_nchw=self.skip_nchw, name="conv"
+        )(x, skip)
 
 
 _ENC = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
@@ -232,18 +262,25 @@ class HallucinationNet(nn.Module):
         bgr = vgg_preprocess(rgb01, mean.value).astype(self.dtype)
 
         x = bgr
+        nchw = False
         skips = []
         for i, (f, n) in enumerate(_ENC):
-            x, s = EncoderStage(f, n, dtype=self.dtype, name=f"enc{i + 1}")(x, train)
-            skips.append(s)
+            x, s, nchw = EncoderStage(f, n, dtype=self.dtype, name=f"enc{i + 1}")(
+                x, train, nchw
+            )
+            skips.append((s, nchw))
+        if nchw:
+            x = jnp.transpose(x, (0, 2, 3, 1))
 
         x = conv(512, 3, dtype=self.dtype, name="latent_conv")(x)
         x = nn.relu(batch_norm(train, name="latent_bn", dtype=self.dtype)(x))
 
-        for i, skip in zip(range(len(_ENC), 0, -1), reversed(skips)):
+        for i, (skip, s_nchw) in zip(range(len(_ENC), 0, -1), reversed(skips)):
             f = _ENC[i - 1][0]
             x = DecoderStage(f, dtype=self.dtype, name=f"dec{i}")(x, train)
-            x = SkipFusion(f, dtype=self.dtype, name=f"skip{i}")(x, skip)
+            x = SkipFusion(
+                f, dtype=self.dtype, skip_nchw=s_nchw, name=f"skip{i}"
+            )(x, skip)
 
         # 3-channel tail in NCHW: NHWC would carry every [.,3] tensor padded
         # to 128 lanes through head_conv/BN/skip0 (~4 GB each at b64 @ 512^2)

@@ -3,30 +3,42 @@
 Why this exists (measured on v5e, b64 @ 512^2 bf16, BENCH_NOTES r3): the
 Hallucination-Net encoder's first two stages are the pipeline's worst
 HBM-traffic sites — XLA materializes the conv1 activation (4.3 GB at enc1)
-and pads every C=64 NHWC tensor 2x in the lane dim, so the pair runs at
-~49 TF/s against a memory roofline ~3x lower.  NCHW dimension numbers are
-slower still (35 ms/conv) and the packed-lane transform only breaks even at
-p=2 — reference experiments in BENCH_NOTES.  The fix has to control layout
-and fusion directly:
+and pads every C=64 NHWC tensor 2x in the lane dim (bf16 tiles are
+sublane x 128 lanes; 64 channels fill half a tile), so the pair runs ~3x
+over its memory roofline.  NCHW dimension numbers through XLA are slower
+still (35 ms/conv) and the packed-lane transform only breaks even at p=2 —
+reference experiments in BENCH_NOTES.  The fix controls layout and fusion
+directly, and keeps everything **channels-major** so no tensor ever pads:
 
-  * the stage input arrives **NCHW with H zero-padded by 2** rows top and
-    bottom ([B, C, Hp, W], C sublane-tile-padded), flattened to
-    [B, C, Hp*W] so one grid step DMAs its (TH+4)-row slab as a single
-    lane-contiguous slice — conv1+conv2 halos included, rows arriving
-    pre-zeroed so no boundary clamps exist in the kernel,
+  * the stage input is NCHW with H zero-padded by 2 rows top and bottom
+    ([B, C, Hp, W], C sublane-tile-padded), flattened to [B, C, Hp*W] so one
+    grid step DMAs its (TH+4)-row slab as a single lane-contiguous slice —
+    conv1+conv2 halos included, rows arriving pre-zeroed so no boundary
+    clamps exist in the kernel,
   * conv1 runs for the whole block as ONE [F, 9C] x [9C, (TH+2)W] MXU
     matmul: the im2col matrix is built from three 128-aligned lane slices
     of the slab (kh taps) x three lane rotations with edge masks (kw taps)
     — the conv1 activation lives only in VMEM, never in HBM,
-  * conv2 is ONE [(TH)W, 9F] x [9F, F] matmul at full contraction depth
-    with bias+ReLU fused,
-  * the 2x2/2 max-pool folds into the same pass as two sublane-pair
-    reductions; the pooled tensor and the pre-pool activation (the stage's
-    skip output) are the only HBM writes, both NHWC for the downstream
-    consumers.
+  * conv2 accumulates three [F, 3F] x [3F, TH*W] matmuls (one per kh tap) —
+    channels-major so the MXU's N dim is the TH*W pixel axis (full) instead
+    of F=64 (half-empty); a full [9F, THW] im2col would blow VMEM at useful
+    block heights,
+  * the 2x2/2 max-pool's H-reduction folds into the same pass (roll by W +
+    max + even-row selection, all lane-tile aligned); the W-pair reduction
+    — a lane-compaction Mosaic has no cheap primitive for — runs as one
+    tiny XLA reshape-max on the 4x-smaller half-pooled tensor,
+  * both HBM writes (skip, half-pooled) are NCHW: the pooled result chains
+    into the next fused stage without a transpose, and the skip is consumed
+    by the decoder's SkipFusion as a matmul operand where NCHW reads at
+    full bandwidth (models/hallucination._SplitConv1x1).
 
-Mosaic's lane rotate is 32-bit-only, so bf16 rows rotate through an f32
-round-trip (pure VPU work, small next to the matmuls).
+Mosaic gotchas encoded here: lane rotate is 32-bit-only (bf16 rolls run on
+an i32 view — adjacent sublane pairs pack into one word, lanes shift
+identically); compare-produced i1 vectors can't relayout into 16x128 bf16
+tiles (edge masks use arithmetic min instead); HBM slices must be
+lane-tile-aligned; lane-dim reshapes ([F, THW] -> [F, TH, W]) are
+relayouts, so the kernel never reshapes — row blocks are 128-aligned lane
+slices.
 
 Semantics are exactly ``max_pool(relu(conv2(relu(conv1(x)))))`` with SAME
 padding and the skip being the pre-pool activation (hallucination_net.py:
@@ -39,7 +51,6 @@ fallback below.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Tuple
 
 import jax
@@ -67,7 +78,7 @@ def _vmem_bytes(th: int, c: int, f: int, w: int) -> int:
     c1buf = f * (th + 2) * w * bf2
     acc = th * w * f * 4                       # f32 conv2 accumulator
     piece = 3 * f * th * w * bf2               # one kh tap's kw-concat
-    outs = (th * w * f + (th // 2) * (w // 2) * f) * bf2
+    outs = (th * w * f + (th // 2) * w * f) * bf2
     weights = (f * 9 * c + 9 * f * f) * bf2
     return slab + col1 + c1buf + acc + piece + outs + weights
 
@@ -79,19 +90,16 @@ def _pick_th(h: int, c: int, f: int, w: int):
     return None
 
 
-def supported(x_shape: Tuple[int, ...], f: int) -> bool:
-    """Static gate for NHWC input [B, H, W, C] and F output channels.
-
-    Opt-in for now: the current whole-block design measures 0.88x of the XLA
-    dense path on enc1 (BENCH_NOTES r3) — the conv2 matmul's N=F=64 output
-    orientation half-fills the MXU.  Enable with SINGLEHDR_FUSED_ENC=1 while
-    iterating; flips on by default once it wins."""
-    if os.environ.get("SINGLEHDR_FUSED_ENC", "0") != "1":
-        return False
+def supported(x_shape: Tuple[int, ...], f: int, nchw: bool = False) -> bool:
+    """Static gate for stage input [B, H, W, C] (or [B, C, H, W]) and F
+    output channels."""
     if len(x_shape) != 4:
         return False
-    b, h, w, c = x_shape
-    if not (w % 128 == 0 and f % 8 == 0 and h % 8 == 0 and h >= 16):
+    if nchw:
+        b, c, h, w = x_shape
+    else:
+        b, h, w, c = x_shape
+    if not (w % 128 == 0 and f % 8 == 0 and h % 16 == 0):
         return False
     return _pick_th(h, _pad_c(c), f, w) is not None
 
@@ -136,20 +144,19 @@ def _rolled_taps(piece, masks):
 
 
 def _kernel(
-    x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, pool_ref, skip_ref, slab, c1buf,
-    sem, *, TH, W, CIN, F, NH,
+    x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, hpool_ref, skip_ref, slab, c1buf,
+    sem, *, TH, W, F, NH,
 ):
     i_b = pl.program_id(0)
     i_h = pl.program_id(1)
     r1 = TH + 2                                # conv1 rows computed
     masks = _edge_masks(W, r1 * W, slab.dtype)
 
-    pltpu.make_async_copy(
+    cp = pltpu.make_async_copy(
         x_hbm.at[i_b, :, pl.ds(i_h * TH * W, (TH + 4) * W)], slab, sem
-    ).start()
-    pltpu.make_async_copy(
-        x_hbm.at[i_b, :, pl.ds(i_h * TH * W, (TH + 4) * W)], slab, sem
-    ).wait()
+    )
+    cp.start()
+    cp.wait()
 
     # conv1: one [F, 9C] x [9C, r1*W] matmul over the whole block
     parts = []
@@ -175,24 +182,25 @@ def _kernel(
     def _():
         c1buf[:, pl.ds((r1 - 1) * W, W)] = jnp.zeros((F, W), c1buf.dtype)
 
-    # conv2: three accumulated [TH*W, 3F] x [3F, F] matmuls (one per kh tap)
-    # — materializing the full [9F, TH*W] im2col would blow the 16M scoped
-    # VMEM stack at useful block heights
-    out2 = jnp.zeros((TH * W, F), jnp.float32)
+    # conv2, channels-major: out2[F, THW] = sum_dh w2tap[F, 3F] @ col[3F, THW]
+    out2 = jnp.zeros((F, TH * W), jnp.float32)
     for dh in range(3):
         piece = c1buf[:, pl.ds(dh * W, TH * W)]
-        col = jnp.concatenate(_rolled_taps(piece, masks), axis=0)  # [3F, TH*W]
+        col = jnp.concatenate(_rolled_taps(piece, masks), axis=0)  # [3F, THW]
         out2 = out2 + jax.lax.dot_general(
-            col, w2_ref[pl.ds(dh * 3 * F, 3 * F)],
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            w2_ref[:, pl.ds(dh * 3 * F, 3 * F)], col,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     out2 = jnp.maximum(out2 + b2_ref[:].astype(jnp.float32), 0.0)
-    act = out2.astype(skip_ref.dtype).reshape(TH, W, F)
+    act = out2.astype(skip_ref.dtype)          # [F, THW]
     skip_ref[0] = act
 
-    hmax = jnp.max(act.reshape(TH, W // 2, 2, F), axis=2)
-    pool_ref[0] = jnp.max(hmax.reshape(TH // 2, 2, W // 2, F), axis=1)
+    # H-pool: roll row h+1 onto row h, max, keep even rows — every slice is a
+    # 128-aligned lane-tile slice (W % 128 == 0), so no relayouts
+    hm = jnp.maximum(act, _roll1(act, -W))
+    rows = [hm[:, 2 * t * W:(2 * t + 1) * W] for t in range(TH // 2)]
+    hpool_ref[0] = jnp.concatenate(rows, axis=1)  # [F, (TH/2)W]
 
 
 def _xla_reference(x_nhwc, w1, b1, w2, b2):
@@ -210,81 +218,84 @@ def _xla_reference(x_nhwc, w1, b1, w2, b2):
     return pooled, y
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def encoder_stage2(x_nhwc, w1, b1, w2, b2, interpret: bool = False):
-    """Fused 2-conv VGG encoder stage.
+@functools.partial(jax.jit, static_argnames=("nchw_in",))
+def encoder_stage2(x, w1, b1, w2, b2, nchw_in: bool = False):
+    """Fused 2-conv VGG encoder stage; NCHW outputs.
 
     Args:
-      x_nhwc: [B, H, W, C] stage input (bf16 or f32).
+      x: [B, H, W, C] stage input (bf16 or f32), or [B, C, H, W] when
+        ``nchw_in`` (the layout the previous fused stage emitted).
       w1: [3, 3, C, F] HWIO kernel of the first conv.
       b1: [F] bias of the first conv.
       w2: [3, 3, F, F] HWIO kernel of the second conv.
       b2: [F] bias of the second conv.
 
     Returns:
-      (pooled, skip): [B, H/2, W/2, F] and [B, H, W, F], both NHWC —
+      (pooled, skip): [B, F, H/2, W/2] and [B, F, H, W], both NCHW —
       ``pooled = maxpool2x2(skip)``, ``skip = relu(conv2(relu(conv1(x))))``.
     """
-    B, H, W, C = x_nhwc.shape
+    if nchw_in:
+        B, C, H, W = x.shape
+    else:
+        B, H, W, C = x.shape
     F = w1.shape[-1]
-    if not supported(x_nhwc.shape, F):
-        return _xla_reference(x_nhwc, w1, b1, w2, b2)
-    dt = x_nhwc.dtype
+    dt = x.dtype
     Cp = _pad_c(C)
     TH = _pick_th(H, Cp, F, W)
     if C != Cp:
         w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
     # NCHW, H zero-padded by the conv1+conv2 halo, rows flattened into lanes
-    x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
+    if not nchw_in:
+        x = jnp.transpose(x, (0, 3, 1, 2))
     x = jnp.pad(x, ((0, 0), (0, Cp - C), (2, 2), (0, 0)))
     x = x.reshape(B, Cp, (H + 4) * W)
     w1m = jnp.transpose(w1.astype(dt).reshape(9 * Cp, F))  # [F, 9Cp]
-    w2m = w2.astype(dt).reshape(9 * F, F)                  # [9F, F]
+    w2m = jnp.transpose(w2.astype(dt).reshape(9 * F, F))   # [F, 9F]
     b1c = b1.reshape(F, 1).astype(jnp.float32)
-    b2r = b2.reshape(1, F).astype(jnp.float32)
+    b2c = b2.reshape(F, 1).astype(jnp.float32)
     grid = (B, H // TH)
-    kernel = functools.partial(
-        _kernel, TH=TH, W=W, CIN=Cp, F=F, NH=H // TH
-    )
-    pooled, skip = pl.pallas_call(
+    kernel = functools.partial(_kernel, TH=TH, W=W, F=F, NH=H // TH)
+    hpool, skip = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((F, 9 * Cp), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((F, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * F, F), lambda i, j: (0, 0),
+            pl.BlockSpec((F, 9 * F), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F), lambda i, j: (0, 0),
+            pl.BlockSpec((F, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, TH // 2, W // 2, F), lambda i, j: (i, j, 0, 0),
+                (1, F, (TH // 2) * W), lambda i, j: (i, 0, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, TH, W, F), lambda i, j: (i, j, 0, 0),
+                (1, F, TH * W), lambda i, j: (i, 0, j),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H // 2, W // 2, F), dt),
-            jax.ShapeDtypeStruct((B, H, W, F), dt),
+            jax.ShapeDtypeStruct((B, F, (H // 2) * W), dt),
+            jax.ShapeDtypeStruct((B, F, H * W), dt),
         ),
         scratch_shapes=[
             pltpu.VMEM((Cp, (TH + 4) * W), dt),
             pltpu.VMEM((F, (TH + 2) * W), dt),
             pltpu.SemaphoreType.DMA,
         ],
-        interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * (Cp + F) * F * H * W * B,
             bytes_accessed=B * H * W * 2 * (Cp + F + F // 4),
             transcendentals=0,
         ),
-    )(x, w1m, b1c, w2m, b2r)
-    return pooled, skip
+    )(x, w1m, b1c, w2m, b2c)
+    # W-pair reduction of the half-pooled tensor (lane compaction has no
+    # cheap Mosaic form; this is a 4x-smaller tensor, one fused XLA pass)
+    pooled = jnp.max(hpool.reshape(B, F, (H // 2) * (W // 2), 2), axis=3)
+    return pooled.reshape(B, F, H // 2, W // 2), skip.reshape(B, F, H, W)

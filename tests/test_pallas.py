@@ -102,7 +102,8 @@ def test_enc_pool_xla_reference_matches_dense_stage(rng):
     x = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
     stage = EncoderStage(features=8, n_convs=2)
     v = stage.init(jax.random.PRNGKey(0), x)
-    pooled, skip = stage.apply(v, x)
+    pooled, skip, nchw = stage.apply(v, x)
+    assert not nchw  # CPU suite always takes the dense path
     p = v["params"]
     pooled2, skip2 = _xla_reference(
         x, p["conv1"]["kernel"], p["conv1"]["bias"],
@@ -112,12 +113,15 @@ def test_enc_pool_xla_reference_matches_dense_stage(rng):
     np.testing.assert_allclose(np.asarray(skip), np.asarray(skip2), atol=1e-5)
 
 
-def test_enc_pool_gate_is_opt_in(monkeypatch):
+def test_enc_pool_shape_gate(monkeypatch):
+    from singlehdr_tpu.models.hallucination import _fused_enc_enabled
     from singlehdr_tpu.ops.pallas import enc_pool_pallas as m
 
-    monkeypatch.delenv("SINGLEHDR_FUSED_ENC", raising=False)
-    assert not m.supported((64, 512, 512, 3), 64)
-    monkeypatch.setenv("SINGLEHDR_FUSED_ENC", "1")
     assert m.supported((64, 512, 512, 3), 64)
+    assert m.supported((64, 64, 256, 256), 128, nchw=True)   # chained stage
     assert not m.supported((64, 512, 500, 3), 64)   # W % 128
-    assert not m.supported((64, 12, 512, 3), 64)    # H too small
+    assert not m.supported((64, 24, 512, 3), 64)    # H % 16
+    monkeypatch.setenv("SINGLEHDR_FUSED_ENC", "0")
+    assert not _fused_enc_enabled()
+    monkeypatch.delenv("SINGLEHDR_FUSED_ENC", raising=False)
+    assert _fused_enc_enabled()
