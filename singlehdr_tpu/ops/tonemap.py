@@ -10,9 +10,12 @@
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
-_LOG11 = float(jnp.log(11.0))
+# pure-Python so importing this module never touches a device backend
+_LOG11 = math.log(11.0)
 
 
 def mu_tonemap(x: jnp.ndarray, mu: float = 10.0) -> jnp.ndarray:
