@@ -53,6 +53,79 @@ def _fused_enc_enabled() -> bool:
     return os.environ.get("SINGLEHDR_FUSED_ENC", "1") == "1"
 
 
+def _fused_dec_enabled() -> bool:
+    import os
+
+    return os.environ.get("SINGLEHDR_FUSED_DEC", "1") == "1"
+
+
+class _Conv1x1Params(nn.Module):
+    """Owns a 1x1-conv (kernel, bias) pair for the fused decoder tail;
+    names/shapes/initializers match _SplitConv1x1/_NarrowConv1x1/
+    _HeadConvToNCHW exactly, so both paths share one checkpoint layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(),
+            (1, 1, cin, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+class _BNParams(nn.Module):
+    """Owns BatchNorm variables (params scale/bias, batch_stats mean/var)
+    without computing the norm — the fused tail folds them into an affine.
+    Names, shapes, dtypes, and initializers match flax.linen.BatchNorm."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        return scale, bias, mean.value, var.value
+
+
+class _DecStageParams(nn.Module):
+    """DecoderStage's parameter tree (conv + bn) without the compute."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kd, bd = _ConvParams(self.features, name="conv")(cin)
+        bn = _BNParams(self.features, name="bn")()
+        return kd, bd, bn
+
+
+class _FusionParams(nn.Module):
+    """SkipFusion's parameter tree (the inner 1x1 conv) without the compute."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return _Conv1x1Params(self.features, name="conv")(cin)
+
+
 class EncoderStage(nn.Module):
     """n_convs ReLU convs then 2x2/2 max-pool.
 
@@ -190,6 +263,7 @@ class _SplitConv1x1(nn.Module):
     features: int
     dtype: Any = jnp.float32
     y_nchw: bool = False
+    out_nchw: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -203,14 +277,18 @@ class _SplitConv1x1(nn.Module):
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
         k = kernel[0, 0].astype(self.dtype)
-        out = jnp.einsum("bhwc,co->bhwo", x.astype(self.dtype), k[:cx])
+        # out_nchw emits channels-major directly (the fused decoder tail's
+        # input layout) — same contraction, different einsum output spec
+        o = "bohw" if self.out_nchw else "bhwo"
+        out = jnp.einsum(f"bhwc,co->{o}", x.astype(self.dtype), k[:cx])
         if self.y_nchw:
             # channels-major skip (fused encoder output) reads at full lane
             # bandwidth; the contraction is the same 1x1 conv
-            out = out + jnp.einsum("bihw,io->bhwo", y.astype(self.dtype), k[cx:])
+            out = out + jnp.einsum(f"bihw,io->{o}", y.astype(self.dtype), k[cx:])
         else:
-            out = out + jnp.einsum("bhwc,co->bhwo", y.astype(self.dtype), k[cx:])
-        return out + bias.astype(out.dtype)
+            out = out + jnp.einsum(f"bhwc,co->{o}", y.astype(self.dtype), k[cx:])
+        b = bias.astype(out.dtype)
+        return out + (b[None, :, None, None] if self.out_nchw else b)
 
 
 class SkipFusion(nn.Module):
@@ -224,6 +302,7 @@ class SkipFusion(nn.Module):
     dtype: Any = jnp.float32
     nchw: bool = False
     skip_nchw: bool = False
+    out_nchw: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
@@ -232,12 +311,14 @@ class SkipFusion(nn.Module):
         saxis = 1 if (self.nchw or self.skip_nchw) else -1
         if (x.shape[caxis] + skip.shape[saxis]) * self.features <= 64:
             assert not self.skip_nchw, "narrow mixed-layout fusion unsupported"
+            assert not self.out_nchw, "narrow out_nchw unsupported"
             return _NarrowConv1x1(
                 self.features, dtype=self.dtype, nchw=self.nchw, name="conv"
             )(x, skip)
         assert not self.nchw, "wide NCHW skip fusion unsupported"
         return _SplitConv1x1(
-            self.features, dtype=self.dtype, y_nchw=self.skip_nchw, name="conv"
+            self.features, dtype=self.dtype, y_nchw=self.skip_nchw,
+            out_nchw=self.out_nchw, name="conv",
         )(x, skip)
 
 
@@ -275,12 +356,54 @@ class HallucinationNet(nn.Module):
         x = conv(512, 3, dtype=self.dtype, name="latent_conv")(x)
         x = nn.relu(batch_norm(train, name="latent_bn", dtype=self.dtype)(x))
 
+        # one fused Pallas pass for dec1 + skip1 + head + skip0 when eligible
+        # (eval mode on TPU, supported geometry): the tail's 64-channel 512^2
+        # intermediates otherwise round-trip ~20 GB of HBM at b64
+        # (ops.pallas.dec_tail_pallas)
+        from singlehdr_tpu.ops.pallas import dec_tail_pallas
+
+        import os
+
+        b, hh, ww, _ = bgr.shape
+        # SINGLEHDR_FORCE_FUSED_DEC=1 engages the fused tail off-TPU under
+        # the Pallas interpreter — the CPU full-model parity test's hook
+        force_dec = os.environ.get("SINGLEHDR_FORCE_FUSED_DEC") == "1"
+        use_fused_tail = (
+            not train
+            and _fused_dec_enabled()
+            and (jax.default_backend() == "tpu" or force_dec)
+            and dec_tail_pallas.supported((b, 2 * _ENC[0][0], hh // 2, ww // 2),
+                                          _ENC[0][0])
+        )
+
         for i, (skip, s_nchw) in zip(range(len(_ENC), 0, -1), reversed(skips)):
+            if i == 1 and use_fused_tail:
+                break
             f = _ENC[i - 1][0]
             x = DecoderStage(f, dtype=self.dtype, name=f"dec{i}")(x, train)
             x = SkipFusion(
-                f, dtype=self.dtype, skip_nchw=s_nchw, name=f"skip{i}"
+                f, dtype=self.dtype, skip_nchw=s_nchw, name=f"skip{i}",
+                out_nchw=(i == 2 and use_fused_tail),
             )(x, skip)
+
+        if use_fused_tail:
+            f = _ENC[0][0]
+            skip1, s1_nchw = skips[0]
+            if not s1_nchw:
+                skip1 = jnp.transpose(skip1, (0, 3, 1, 2))
+            kd, bd, bn1 = _DecStageParams(f, name="dec1")(2 * f)
+            ksk, bsk = _FusionParams(f, name="skip1")(2 * f)
+            kh, bh = _Conv1x1Params(3, name="head_conv")(f)
+            bn2 = _BNParams(3, name="head_bn")()
+            k0, b0 = _FusionParams(3, name="skip0")(6)
+            out = dec_tail_pallas.dec_tail_fused(
+                x, skip1.astype(self.dtype), bgr,
+                dec_tail_pallas.DecTailParams(
+                    kd, bd, *bn1, ksk, bsk, kh, bh, *bn2, k0, b0
+                ),
+                interpret=jax.default_backend() != "tpu",
+            )
+            return out.astype(jnp.float32)  # BGR residual
 
         # 3-channel tail in NCHW: NHWC would carry every [.,3] tensor padded
         # to 128 lanes through head_conv/BN/skip0 (~4 GB each at b64 @ 512^2)

@@ -72,25 +72,22 @@ def _depth_to_space_x2(x: jnp.ndarray, cout: int) -> jnp.ndarray:
     return x.reshape(b, 2 * h, 2 * w, cout)
 
 
-def upsample_conv_x2(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    """Exactly ``conv3x3_SAME(k, resize_bilinear_x2(x))`` (no bias/act).
+def upsample_conv_rings(x: jnp.ndarray, k: jnp.ndarray):
+    """Exact outer 1-pixel rings of ``conv3x3_SAME(k, resize_x2(x))``.
 
-    x: [b, h, w, cin] NHWC; k: [3, 3, cin, cout] HWIO.  Returns
-    [b, 2h, 2w, cout] in x.dtype.
+    The composite low-res conv runs on an edge-replicated pad (reproducing
+    the resize clamp), but the high-res conv's SAME *zero* padding differs
+    from clamping on the outermost ring.  These strips recompute that ring
+    from thin exact upsample slices (resize of a 2-wide slice matches the
+    global resize on its outer two samples).  Shared by the XLA fused path
+    below and the Pallas fused decoder stage (ops.pallas.dec_tail_pallas),
+    both of which paste them over the composite-conv interior.
+
+    Returns ``(top, bottom, left, right)``: [b,1,2w,cout] x2, [b,2h,1,cout]
+    x2, in x.dtype.  W rings include the true corner values.
     """
-    if k.shape[0] != 3 or k.shape[1] != 3:
-        raise ValueError(f"3x3 kernels only, got {k.shape}")
-    cout = k.shape[3]
-    k4 = composite_kernel(k).astype(x.dtype)
     k = k.astype(x.dtype)
 
-    # main body: edge-replicate pad reproduces the resize clamp; VALID conv
-    xe = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    y = _depth_to_space_x2(_conv(xe, k4, "VALID"), cout)
-
-    # outer rings: the high-res conv zero-pads where the composite clamped.
-    # Recompute them from thin exact upsample strips (resize of a 2-wide
-    # slice matches the global resize on its outer two samples).
     def h_ring(rows, top: bool):
         # rows: [b, 2, w, cin] low-res boundary rows (outermost first for top)
         u = resize_bilinear_x2(rows)            # [b, 4, 2w, cin]
@@ -105,9 +102,6 @@ def upsample_conv_x2(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
         # VALID over the 3-row window, SAME (zero) along W — the true border
         return _conv(strip, k, ((0, 0), (1, 1)))  # [b, 1, 2w, cout]
 
-    y_top = h_ring(x[:, :2], True)
-    y_bot = h_ring(x[:, -2:], False)
-
     def w_ring(cols, left: bool):
         u = resize_bilinear_x2(cols)            # [b, 2h, 4, cin]
         if left:
@@ -120,8 +114,31 @@ def upsample_conv_x2(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
             )
         return _conv(strip, k, ((1, 1), (0, 0)))  # [b, 2h, 1, cout]
 
-    y_left = w_ring(x[:, :, :2], True)
-    y_right = w_ring(x[:, :, -2:], False)
+    return (
+        h_ring(x[:, :2], True),
+        h_ring(x[:, -2:], False),
+        w_ring(x[:, :, :2], True),
+        w_ring(x[:, :, -2:], False),
+    )
+
+
+def upsample_conv_x2(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Exactly ``conv3x3_SAME(k, resize_bilinear_x2(x))`` (no bias/act).
+
+    x: [b, h, w, cin] NHWC; k: [3, 3, cin, cout] HWIO.  Returns
+    [b, 2h, 2w, cout] in x.dtype.
+    """
+    if k.shape[0] != 3 or k.shape[1] != 3:
+        raise ValueError(f"3x3 kernels only, got {k.shape}")
+    cout = k.shape[3]
+    k4 = composite_kernel(k).astype(x.dtype)
+
+    # main body: edge-replicate pad reproduces the resize clamp; VALID conv
+    xe = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = _depth_to_space_x2(_conv(xe, k4, "VALID"), cout)
+
+    # outer rings: the high-res conv zero-pads where the composite clamped
+    y_top, y_bot, y_left, y_right = upsample_conv_rings(x, k)
 
     # paste via thin in-place updates: the former concatenate-of-slices form
     # materialized two full copies of the [b, 2h, 2w, cout] tensor (an extra
