@@ -375,15 +375,33 @@ class HallucinationNet(nn.Module):
             and dec_tail_pallas.supported((b, 2 * _ENC[0][0], hh // 2, ww // 2),
                                           _ENC[0][0])
         )
+        # dec2 fuses the same way (stage + skip2, no tail) when its low-res
+        # geometry also qualifies; its NCHW output chains into the dec1 pass
+        use_fused_dec2 = use_fused_tail and dec_tail_pallas.supported(
+            (b, 4 * _ENC[0][0], hh // 4, ww // 4), 2 * _ENC[0][0]
+        )
+        interpret = jax.default_backend() != "tpu"
 
         for i, (skip, s_nchw) in zip(range(len(_ENC), 0, -1), reversed(skips)):
             if i == 1 and use_fused_tail:
                 break
             f = _ENC[i - 1][0]
+            if i == 2 and use_fused_dec2:
+                if not s_nchw:
+                    skip = jnp.transpose(skip, (0, 3, 1, 2))
+                kd, bd, bn = _DecStageParams(f, name="dec2")(2 * f)
+                ksk, bsk = _FusionParams(f, name="skip2")(2 * f)
+                x = dec_tail_pallas.dec_stage_fused(
+                    x, skip.astype(self.dtype),
+                    dec_tail_pallas.DecStageParams(kd, bd, *bn, ksk, bsk),
+                    interpret=interpret,
+                )
+                continue
             x = DecoderStage(f, dtype=self.dtype, name=f"dec{i}")(x, train)
             x = SkipFusion(
                 f, dtype=self.dtype, skip_nchw=s_nchw, name=f"skip{i}",
-                out_nchw=(i == 2 and use_fused_tail),
+                out_nchw=(i == 3 and use_fused_dec2)
+                or (i == 2 and use_fused_tail),
             )(x, skip)
 
         if use_fused_tail:
@@ -401,7 +419,7 @@ class HallucinationNet(nn.Module):
                 dec_tail_pallas.DecTailParams(
                     kd, bd, *bn1, ksk, bsk, kh, bh, *bn2, k0, b0
                 ),
-                interpret=jax.default_backend() != "tpu",
+                interpret=interpret,
             )
             return out.astype(jnp.float32)  # BGR residual
 

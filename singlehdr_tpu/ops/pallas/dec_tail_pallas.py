@@ -68,6 +68,21 @@ _VMEM_BUDGET = 40 * 1024 * 1024
 _BN_EPS = 1e-3  # models/layers.BN_EPSILON
 
 
+class DecStageParams(NamedTuple):
+    """Raw checkpoint-layout weights of one fused decoder stage + skip
+    fusion (all f32).  Shapes for dec2 (C=256 in, F=128): kd [3,3,C,F],
+    bd [F]; bn mean/var/scale/bias [F]; ksk [1,1,2F,F], bsk [F]."""
+
+    kd: jnp.ndarray
+    bd: jnp.ndarray
+    bn_scale: jnp.ndarray
+    bn_bias: jnp.ndarray
+    bn_mean: jnp.ndarray
+    bn_var: jnp.ndarray
+    ksk: jnp.ndarray
+    bsk: jnp.ndarray
+
+
 class DecTailParams(NamedTuple):
     """Raw checkpoint-layout weights of the fused chain (all f32).
 
@@ -144,11 +159,19 @@ def _rolled_taps_replicate(piece, masks, roll):
     return left, piece, right
 
 
-def _kernel(
-    x_hbm, w4_ref, ab1_ref, kx_ref, ks_ref, kh_ref, ab2_ref, k0x_ref,
-    k0b_ref, ab0_ref, skip_ref, bgr_ref, out_ref, slab, sem,
-    *, TH, W, C, F, roll,
-):
+def _mm(a, b):
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _stage_front(x_hbm, w4_ref, ab1_ref, slab, sem, *, TH, W, C, F, roll):
+    """Shared front half of the fused decoder kernels: DMA the input slab,
+    run the composite upsample-conv as three accumulated channels-major
+    matmuls, and apply bias -> relu -> BN affine -> relu.  Returns the
+    phase-major [4F, TH*W] stage activation in the compute dtype."""
     i_b = pl.program_id(0)
     i_h = pl.program_id(1)
     masks = _edge_masks(W, TH * W, slab.dtype)
@@ -166,51 +189,51 @@ def _kernel(
         col = jnp.concatenate(
             _rolled_taps_replicate(piece, masks, roll), axis=0
         )
-        out1 = out1 + jax.lax.dot_general(
-            w4_ref[:, pl.ds(kh * 3 * C, 3 * C)], col,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    # dec1: bias -> relu -> BN affine -> relu, phase-tiled per-channel rows
+        out1 = out1 + _mm(w4_ref[:, pl.ds(kh * 3 * C, 3 * C)], col)
+    # bias -> relu -> BN affine -> relu, phase-tiled per-channel rows
     bd4, s1, t1 = ab1_ref[:, 0:1], ab1_ref[:, 1:2], ab1_ref[:, 2:3]
     y2 = jnp.maximum(jnp.maximum(out1 + bd4, 0.0) * s1 + t1, 0.0)
-    y2 = y2.astype(slab.dtype)
+    return y2.astype(slab.dtype)
 
+
+def _stage_kernel(
+    x_hbm, w4_ref, ab1_ref, kx_ref, ks_ref, skip_ref, out_ref, slab, sem,
+    *, TH, W, C, F, roll,
+):
+    """Fused decoder stage without the 3-channel tail: the skip-fused
+    activation z is the output, one phase-major [F, THW] block per phase."""
+    y2 = _stage_front(
+        x_hbm, w4_ref, ab1_ref, slab, sem, TH=TH, W=W, C=C, F=F, roll=roll
+    )
+    bsk = ab1_ref[: F, 3:4]
+    for p in range(4):
+        z = _mm(kx_ref[:], y2[p * F:(p + 1) * F])
+        z = z + _mm(ks_ref[:], skip_ref[0, p])
+        out_ref[0, p] = (z + bsk).astype(out_ref.dtype)
+
+
+def _kernel(
+    x_hbm, w4_ref, ab1_ref, kx_ref, ks_ref, kh_ref, ab2_ref, k0x_ref,
+    k0b_ref, ab0_ref, skip_ref, bgr_ref, out_ref, slab, sem,
+    *, TH, W, C, F, roll,
+):
+    y2 = _stage_front(
+        x_hbm, w4_ref, ab1_ref, slab, sem, TH=TH, W=W, C=C, F=F, roll=roll
+    )
     bsk = ab1_ref[: F, 3:4]
     bh8 = ab2_ref[:, 0:1]
     s2, t2 = ab2_ref[:, 1:2], ab2_ref[:, 2:3]
     b08 = ab0_ref[:, 0:1]
     for p in range(4):
         # skip1 fusion: z = kx @ y2_p + (ks/255) @ skip_p + bsk
-        z = jax.lax.dot_general(
-            kx_ref[:], y2[p * F:(p + 1) * F],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        z = z + jax.lax.dot_general(
-            ks_ref[:], skip_ref[0, p],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        z = (z + bsk).astype(slab.dtype)
+        z = _mm(kx_ref[:], y2[p * F:(p + 1) * F])
+        z = z + _mm(ks_ref[:], skip_ref[0, p])
+        z = (z + bsk).astype(y2.dtype)
         # head conv -> BN affine -> relu (rows 3..7 are zero padding)
-        h = jax.lax.dot_general(
-            kh_ref[:], z,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        h = jnp.maximum((h + bh8) * s2 + t2, 0.0).astype(slab.dtype)
+        h = _mm(kh_ref[:], z)
+        h = jnp.maximum((h + bh8) * s2 + t2, 0.0).astype(y2.dtype)
         # skip0 narrow fusion with the preprocessed bgr, then final relu
-        o = jax.lax.dot_general(
-            k0x_ref[:], h,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o = o + jax.lax.dot_general(
-            k0b_ref[:], bgr_ref[0, p],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        o = _mm(k0x_ref[:], h) + _mm(k0b_ref[:], bgr_ref[0, p])
         out_ref[0, p] = jnp.maximum(o + b08, 0.0).astype(out_ref.dtype)
 
 
@@ -231,6 +254,24 @@ def _phase_merge(o: jnp.ndarray, h2: int, w2: int) -> jnp.ndarray:
     return o.reshape(b, c, 2 * h2, 2 * w2)
 
 
+def _stage_affines(kd, bd, bn, ksk, bsk, dt):
+    """Fold the stage's biases/BN into the matmul-operand tables: returns
+    (w4m [4F, 9C], ab1 [4F, 4] = (bias4 | s1 | t1 | bsk-pad), kxT [F, F],
+    ksT [F, F] with /255 folded in), kernels in the compute dtype."""
+    C, F = kd.shape[2], kd.shape[3]
+    k4 = composite_kernel(kd)                         # [3,3,C,4F] f32
+    w4m = jnp.transpose(k4.reshape(9 * C, 4 * F)).astype(dt)
+    s1, t1 = _bn_affine(*bn)
+    tile4 = lambda v: jnp.tile(v, 4)[:, None].astype(jnp.float32)
+    bsk_col = jnp.concatenate([bsk, jnp.zeros(3 * F)])[:, None]
+    ab1 = jnp.concatenate(
+        [tile4(bd), tile4(s1), tile4(t1), bsk_col.astype(jnp.float32)], axis=1
+    )
+    kxT = jnp.transpose(ksk[0, 0, :F]).astype(dt)     # [F, F]
+    ksT = jnp.transpose(ksk[0, 0, F:] / 255.0).astype(dt)
+    return w4m, ab1, kxT, ksT
+
+
 def _tail_affines(p: DecTailParams, F: int, dt):
     """Fold biases/BN/scales into the matmul-operand tables the kernel reads.
 
@@ -238,17 +279,10 @@ def _tail_affines(p: DecTailParams, F: int, dt):
     1x1 kernels in the compute dtype with /255 folded in, and f32 per-channel
     column tables: ab1 [4F, 4] = (bias4 | s1 | t1 | bsk-pad), ab2 [8, 3] =
     (bh | s2 | t2), ab0 [8, 1] = b0."""
-    C = p.kd.shape[2]
-    k4 = composite_kernel(p.kd)                       # [3,3,C,4F] f32
-    w4m = jnp.transpose(k4.reshape(9 * C, 4 * F)).astype(dt)
-    s1, t1 = _bn_affine(p.bn1_scale, p.bn1_bias, p.bn1_mean, p.bn1_var)
-    tile4 = lambda v: jnp.tile(v, 4)[:, None].astype(jnp.float32)
-    bsk_col = jnp.concatenate([p.bsk, jnp.zeros(3 * F)])[:, None]
-    ab1 = jnp.concatenate(
-        [tile4(p.bd), tile4(s1), tile4(t1), bsk_col.astype(jnp.float32)], axis=1
+    w4m, ab1, kxT, ksT = _stage_affines(
+        p.kd, p.bd, (p.bn1_scale, p.bn1_bias, p.bn1_mean, p.bn1_var),
+        p.ksk, p.bsk, dt,
     )
-    kxT = jnp.transpose(p.ksk[0, 0, :F]).astype(dt)   # [F, F]
-    ksT = jnp.transpose(p.ksk[0, 0, F:] / 255.0).astype(dt)
     pad8 = lambda m: jnp.pad(m, ((0, 8 - m.shape[0]), (0, 8 - m.shape[1])))
     khT = jnp.pad(jnp.transpose(p.kh[0, 0]), ((0, 5), (0, 0))).astype(dt)
     s2, t2 = _bn_affine(p.bn2_scale, p.bn2_bias, p.bn2_mean, p.bn2_var)
@@ -260,21 +294,31 @@ def _tail_affines(p: DecTailParams, F: int, dt):
     return w4m, ab1, kxT, ksT, khT, ab2, k0xT, k0bT, ab0
 
 
+def _stage_chain_nhwc(y, skip, kd, bd, bn, ksk, bsk, dt):
+    """The stage's post-conv chain on NHWC strips (XLA; border rings):
+    bias -> relu -> BN affine -> relu -> skip fusion.  ``y`` is the raw
+    upsample-conv output (no bias); ``skip`` the matching NHWC strip."""
+    s1, t1 = _bn_affine(*bn)
+    y = jnp.maximum(y + bd.astype(dt), 0.0)
+    y = jnp.maximum(y * s1.astype(dt) + t1.astype(dt), 0.0)
+    F = kd.shape[3]
+    z = jnp.einsum("bhwc,co->bhwo", y, ksk[0, 0, :F].astype(dt))
+    z = z + jnp.einsum(
+        "bhwc,co->bhwo", skip.astype(dt), (ksk[0, 0, F:] / 255.0).astype(dt)
+    )
+    return z + bsk.astype(dt)
+
+
 def _tail_chain_nhwc(y, skip, bgr, p: DecTailParams, dt):
-    """The post-conv chain on NHWC strips (XLA; used for the border rings).
+    """The full tail chain on NHWC strips (XLA; used for the border rings).
 
     ``y`` is the raw upsample-conv output (no bias); skip/bgr are the
     matching NHWC strips.  Same math as the kernel, same compute dtype.
     """
-    s1, t1 = _bn_affine(p.bn1_scale, p.bn1_bias, p.bn1_mean, p.bn1_var)
-    y = jnp.maximum(y + p.bd.astype(dt), 0.0)
-    y = jnp.maximum(y * s1.astype(dt) + t1.astype(dt), 0.0)
-    F = p.kd.shape[3]
-    z = jnp.einsum("bhwc,co->bhwo", y, p.ksk[0, 0, :F].astype(dt))
-    z = z + jnp.einsum(
-        "bhwc,co->bhwo", skip.astype(dt), (p.ksk[0, 0, F:] / 255.0).astype(dt)
+    z = _stage_chain_nhwc(
+        y, skip, p.kd, p.bd,
+        (p.bn1_scale, p.bn1_bias, p.bn1_mean, p.bn1_var), p.ksk, p.bsk, dt,
     )
-    z = z + p.bsk.astype(dt)
     h = jnp.einsum("bhwc,co->bhwo", z, p.kh[0, 0].astype(dt)) + p.bh.astype(dt)
     s2, t2 = _bn_affine(p.bn2_scale, p.bn2_bias, p.bn2_mean, p.bn2_var)
     h = jnp.maximum(h * s2.astype(dt) + t2.astype(dt), 0.0)
@@ -382,3 +426,92 @@ def dec_tail_fused(
     o = o.at[:, :, :, :1].set(to_cw(o_l))
     o = o.at[:, :, :, -1:].set(to_cw(o_r))
     return jnp.transpose(o, (0, 2, 3, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dec_stage_fused(
+    x: jnp.ndarray,
+    skip: jnp.ndarray,
+    params: DecStageParams,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused decoder stage + skip fusion forward (eval mode), NCHW chain.
+
+    Computes ``z = relu(bn(relu(upsample_conv3x3(x) + b))) @ kx +
+    (skip/255) @ ks + bz`` — one DecoderStage + SkipFusion pair
+    (hallucination_net.py:77-107) — in one channels-major Pallas pass.
+
+    Args:
+      x: [B, C, H, W] NCHW low-res stage input.
+      skip: [B, F, 2H, 2W] NCHW encoder skip (pre-pool activation).
+      params: raw checkpoint-layout weights (DecStageParams).
+      interpret: run under the Pallas interpreter (CPU semantics tests).
+
+    Returns: [B, F, 2H, 2W] NCHW (chains into the next fused stage), x.dtype.
+    """
+    B, C, H, W = x.shape
+    F = params.kd.shape[3]
+    dt = x.dtype
+    TH = _pick_th(H, C, F, W)
+    bn = (params.bn_scale, params.bn_bias, params.bn_mean, params.bn_var)
+    w4m, ab1, kxT, ksT = _stage_affines(
+        params.kd, params.bd, bn, params.ksk, params.bsk, dt
+    )
+
+    xs = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    xs = xs.reshape(B, C, (H + 2) * W)
+    skip_p = _phase_split(skip.astype(dt))            # [B, 4, F, HW]
+
+    roll = (lambda v, s: jnp.roll(v, s, axis=-1)) if interpret else _roll1
+    kernel = functools.partial(
+        _stage_kernel, TH=TH, W=W, C=C, F=F, roll=roll
+    )
+    grid = (B, H // TH)
+    hw = TH * W
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            const((4 * F, 9 * C)),
+            const((4 * F, 4)),
+            const((F, F)),
+            const((F, F)),
+            pl.BlockSpec((1, 4, F, hw), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, F, hw), lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 4, F, H * W), dt),
+        scratch_shapes=[
+            pltpu.VMEM((C, (TH + 2) * W), dt),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * W * B * (9 * C * 4 * F + 8 * F * F),
+            bytes_accessed=B * H * W * 2 * (C + 12 * F),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, w4m, ab1, kxT, ksT, skip_p)
+
+    z = _phase_merge(out, H, W)                       # [B, F, 2H, 2W]
+
+    # exact border rings, recomputed in XLA through the same stage math
+    x_nhwc = jnp.transpose(x, (0, 2, 3, 1))
+    kd = params.kd.astype(dt)
+    y_t, y_b, y_l, y_r = upsample_conv_rings(x_nhwc, kd)
+    s_nhwc = lambda s: jnp.transpose(s, (0, 2, 3, 1)).astype(dt)
+    to_cw = lambda v: jnp.transpose(v, (0, 3, 1, 2))
+    chain = lambda y, s: _stage_chain_nhwc(
+        y, s, params.kd, params.bd, bn, params.ksk, params.bsk, dt
+    )
+    z = z.at[:, :, :1].set(to_cw(chain(y_t, s_nhwc(skip[:, :, :1]))))
+    z = z.at[:, :, -1:].set(to_cw(chain(y_b, s_nhwc(skip[:, :, -1:]))))
+    z = z.at[:, :, :, :1].set(to_cw(chain(y_l, s_nhwc(skip[:, :, :, :1]))))
+    z = z.at[:, :, :, -1:].set(to_cw(chain(y_r, s_nhwc(skip[:, :, :, -1:]))))
+    return z

@@ -95,6 +95,47 @@ def test_border_ring_is_exact_not_composite(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def _rand_stage_params(rng, C, F):
+    r = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32) * 0.2
+    return m.DecStageParams(
+        kd=r(3, 3, C, F),
+        bd=r(F),
+        bn_scale=1.0 + 0.1 * r(F),
+        bn_bias=r(F),
+        bn_mean=r(F),
+        bn_var=1.0 + jnp.abs(r(F)),
+        ksk=r(1, 1, 2 * F, F),
+        bsk=r(F),
+    )
+
+
+def test_stage_fused_matches_dense_chain_interpret(rng):
+    B, C, F, H, W = 1, 16, 8, 8, 128
+    x = jnp.asarray(rng.standard_normal((B, C, H, W)), jnp.float32)
+    skip = jnp.asarray(
+        rng.standard_normal((B, F, 2 * H, 2 * W)), jnp.float32
+    ) * 40.0
+    p = _rand_stage_params(rng, C, F)
+
+    got = m.dec_stage_fused(x, skip, p, interpret=True)  # NCHW out
+    eps = 1e-3
+    y = jax.nn.relu(
+        upsample_conv_x2(jnp.transpose(x, (0, 2, 3, 1)), p.kd) + p.bd
+    )
+    s1 = p.bn_scale / jnp.sqrt(p.bn_var + eps)
+    y = jax.nn.relu((y - p.bn_mean) * s1 + p.bn_bias)
+    skip_nhwc = jnp.transpose(skip, (0, 2, 3, 1))
+    want = (
+        jnp.einsum("bhwc,co->bhwo", y, p.ksk[0, 0, :F])
+        + jnp.einsum("bhwc,co->bhwo", skip_nhwc / 255.0, p.ksk[0, 0, F:])
+        + p.bsk
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(got, (0, 2, 3, 1))), np.asarray(want),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
 def test_supported_gate():
     assert m.supported((2, 128, 256, 256), 64)
     assert m.supported((1, 16, 8, 128), 8)
@@ -124,6 +165,29 @@ def test_model_fused_tail_parity(rng, monkeypatch):
     got = model.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_model_fused_dec2_chain_parity(rng, monkeypatch):
+    """At a geometry where dec2 AND dec1 both fuse (W=512), the chained
+    fused stages still match the dense module path."""
+    from singlehdr_tpu.models.hallucination import HallucinationNet
+
+    model = HallucinationNet()
+    x = jnp.asarray(rng.random((1, 32, 512, 3)), jnp.float32)
+    monkeypatch.delenv("SINGLEHDR_FORCE_FUSED_DEC", raising=False)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    want = model.apply(variables, x, train=False)
+
+    monkeypatch.setenv("SINGLEHDR_FORCE_FUSED_DEC", "1")
+    got = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # the dec2 parameter-owner path reproduces the dense tree too
+    fused = model.init(jax.random.PRNGKey(0), x, train=False)
+    d = jax.tree_util.tree_leaves_with_path(variables)
+    f = jax.tree_util.tree_leaves_with_path(fused)
+    assert [(p, v.shape) for p, v in d] == [(p, v.shape) for p, v in f]
 
 
 def test_model_init_tree_identical_under_fused_tail(rng, monkeypatch):
