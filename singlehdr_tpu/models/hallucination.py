@@ -375,22 +375,34 @@ class HallucinationNet(nn.Module):
             and dec_tail_pallas.supported((b, 2 * _ENC[0][0], hh // 2, ww // 2),
                                           _ENC[0][0])
         )
-        # dec2 fuses the same way (stage + skip2, no tail) when its low-res
-        # geometry also qualifies; its NCHW output chains into the dec1 pass
-        use_fused_dec2 = use_fused_tail and dec_tail_pallas.supported(
-            (b, 4 * _ENC[0][0], hh // 4, ww // 4), 2 * _ENC[0][0]
-        )
+        # the upper decoder stages fuse the same way (stage + skip, no tail)
+        # when their low-res geometry also qualifies; each fused stage's NCHW
+        # output chains into the next fused pass without a transpose.  The
+        # fused run is a contiguous suffix dec_k..dec2 ending in the tail.
+        dec_cin = {1: 128, 2: 256, 3: 512, 4: 512, 5: 512}
+        fuse_set: set[int] = set()
+        if use_fused_tail:
+            for i in range(2, len(_ENC) + 1):
+                if not dec_tail_pallas.supported(
+                    (b, dec_cin[i], hh >> i, ww >> i), _ENC[i - 1][0]
+                ):
+                    break
+                fuse_set.add(i)
         interpret = jax.default_backend() != "tpu"
 
+        x_nchw = False
         for i, (skip, s_nchw) in zip(range(len(_ENC), 0, -1), reversed(skips)):
             if i == 1 and use_fused_tail:
                 break
             f = _ENC[i - 1][0]
-            if i == 2 and use_fused_dec2:
+            if i in fuse_set:
+                if not x_nchw:  # boundary into the fused suffix
+                    x = jnp.transpose(x, (0, 3, 1, 2))
+                    x_nchw = True
                 if not s_nchw:
                     skip = jnp.transpose(skip, (0, 3, 1, 2))
-                kd, bd, bn = _DecStageParams(f, name="dec2")(2 * f)
-                ksk, bsk = _FusionParams(f, name="skip2")(2 * f)
+                kd, bd, bn = _DecStageParams(f, name=f"dec{i}")(dec_cin[i])
+                ksk, bsk = _FusionParams(f, name=f"skip{i}")(2 * f)
                 x = dec_tail_pallas.dec_stage_fused(
                     x, skip.astype(self.dtype),
                     dec_tail_pallas.DecStageParams(kd, bd, *bn, ksk, bsk),
@@ -398,11 +410,12 @@ class HallucinationNet(nn.Module):
                 )
                 continue
             x = DecoderStage(f, dtype=self.dtype, name=f"dec{i}")(x, train)
+            emit_nchw = (i - 1 in fuse_set) or (i - 1 == 1 and use_fused_tail)
             x = SkipFusion(
                 f, dtype=self.dtype, skip_nchw=s_nchw, name=f"skip{i}",
-                out_nchw=(i == 3 and use_fused_dec2)
-                or (i == 2 and use_fused_tail),
+                out_nchw=emit_nchw,
             )(x, skip)
+            x_nchw = emit_nchw
 
         if use_fused_tail:
             f = _ENC[0][0]

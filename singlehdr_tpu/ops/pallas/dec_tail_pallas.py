@@ -128,8 +128,13 @@ def _vmem_bytes(th: int, c: int, f: int, w: int) -> int:
 
 
 def _pick_th(h: int, c: int, f: int, w: int):
+    # blocks must cover whole rows and land on lane-tile boundaries in the
+    # flattened [C, R*W] layout; W < 128 works because the kh tap pieces are
+    # built by rolling the slab (see _stage_front), not by unaligned slices
     for th in (16, 8):
-        if h % th == 0 and _vmem_bytes(th, c, f, w) < _VMEM_BUDGET:
+        if h % th == 0 and (th * w) % 128 == 0 and _vmem_bytes(
+            th, c, f, w
+        ) < _VMEM_BUDGET:
             return th
     return None
 
@@ -139,7 +144,7 @@ def supported(x_shape: Tuple[int, ...], f: int) -> bool:
     if len(x_shape) != 4:
         return False
     b, c, h, w = x_shape
-    if not (w % 128 == 0 and c % 8 == 0 and f % 8 == 0 and h % 8 == 0):
+    if not (w % 64 == 0 and c % 8 == 0 and f % 8 == 0 and h % 8 == 0):
         return False
     return _pick_th(h, c, f, w) is not None
 
@@ -185,7 +190,13 @@ def _stage_front(x_hbm, w4_ref, ab1_ref, slab, sem, *, TH, W, C, F, roll):
     # composite conv: out1[4F, THW] = sum_kh w4[:, kh] @ col_kh[3C, THW]
     out1 = jnp.zeros((4 * F, TH * W), jnp.float32)
     for kh in range(3):
-        piece = slab[:, pl.ds(kh * W, TH * W)]
+        if (kh * W) % 128 == 0:
+            piece = slab[:, pl.ds(kh * W, TH * W)]
+        else:
+            # W < 128: the kh-row offset is not lane-tile-aligned, so shift
+            # the whole slab with a (cheap, VPU) rotate and take the aligned
+            # prefix — the wrapped tail lands past TH*W and is discarded
+            piece = roll(slab[:], -kh * W)[:, :TH * W]
         col = jnp.concatenate(
             _rolled_taps_replicate(piece, masks, roll), axis=0
         )

@@ -109,8 +109,11 @@ def _rand_stage_params(rng, C, F):
     )
 
 
-def test_stage_fused_matches_dense_chain_interpret(rng):
-    B, C, F, H, W = 1, 16, 8, 8, 128
+@pytest.mark.parametrize("W", [128, 64])
+def test_stage_fused_matches_dense_chain_interpret(rng, W):
+    """W=64 exercises the rolled-piece path (kh-row offsets that are not
+    lane-tile-aligned are reached by rotating the slab)."""
+    B, C, F, H = 1, 16, 8, 8
     x = jnp.asarray(rng.standard_normal((B, C, H, W)), jnp.float32)
     skip = jnp.asarray(
         rng.standard_normal((B, F, 2 * H, 2 * W)), jnp.float32
@@ -139,7 +142,8 @@ def test_stage_fused_matches_dense_chain_interpret(rng):
 def test_supported_gate():
     assert m.supported((2, 128, 256, 256), 64)
     assert m.supported((1, 16, 8, 128), 8)
-    assert not m.supported((2, 128, 256, 250), 64)   # W % 128
+    assert m.supported((2, 512, 64, 64), 256)        # dec3 @512^2 (W=64)
+    assert not m.supported((2, 128, 256, 250), 64)   # W % 64
     assert not m.supported((2, 130, 256, 256), 64)   # C % 8
     assert not m.supported((2, 128, 9, 256), 64)     # H % 8
     assert not m.supported((2, 128, 256), 64)        # rank
@@ -188,6 +192,23 @@ def test_model_fused_dec2_chain_parity(rng, monkeypatch):
     d = jax.tree_util.tree_leaves_with_path(variables)
     f = jax.tree_util.tree_leaves_with_path(fused)
     assert [(p, v.shape) for p, v in d] == [(p, v.shape) for p, v in f]
+
+
+def test_model_fused_dec3_boundary_parity(rng, monkeypatch):
+    """At H=64 the fused suffix is dec3..dec1 (dec3 runs the W=64 rolled
+    path) with the dense skip4 fusion emitting NCHW into it."""
+    from singlehdr_tpu.models.hallucination import HallucinationNet
+
+    model = HallucinationNet()
+    x = jnp.asarray(rng.random((1, 64, 512, 3)), jnp.float32)
+    monkeypatch.delenv("SINGLEHDR_FORCE_FUSED_DEC", raising=False)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    want = model.apply(variables, x, train=False)
+
+    monkeypatch.setenv("SINGLEHDR_FORCE_FUSED_DEC", "1")
+    got = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_model_init_tree_identical_under_fused_tail(rng, monkeypatch):
