@@ -53,79 +53,6 @@ def _fused_enc_enabled() -> bool:
     return os.environ.get("SINGLEHDR_FUSED_ENC", "1") == "1"
 
 
-def _fused_dec_enabled() -> bool:
-    import os
-
-    return os.environ.get("SINGLEHDR_FUSED_DEC", "1") == "1"
-
-
-class _Conv1x1Params(nn.Module):
-    """Owns a 1x1-conv (kernel, bias) pair for the fused decoder tail;
-    names/shapes/initializers match _SplitConv1x1/_NarrowConv1x1/
-    _HeadConvToNCHW exactly, so both paths share one checkpoint layout."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, cin: int):
-        kernel = self.param(
-            "kernel", nn.initializers.glorot_uniform(),
-            (1, 1, cin, self.features), jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), jnp.float32
-        )
-        return kernel, bias
-
-
-class _BNParams(nn.Module):
-    """Owns BatchNorm variables (params scale/bias, batch_stats mean/var)
-    without computing the norm — the fused tail folds them into an affine.
-    Names, shapes, dtypes, and initializers match flax.linen.BatchNorm."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param(
-            "scale", nn.initializers.ones, (self.features,), jnp.float32
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), jnp.float32
-        )
-        mean = self.variable(
-            "batch_stats", "mean",
-            lambda: jnp.zeros((self.features,), jnp.float32),
-        )
-        var = self.variable(
-            "batch_stats", "var",
-            lambda: jnp.ones((self.features,), jnp.float32),
-        )
-        return scale, bias, mean.value, var.value
-
-
-class _DecStageParams(nn.Module):
-    """DecoderStage's parameter tree (conv + bn) without the compute."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, cin: int):
-        kd, bd = _ConvParams(self.features, name="conv")(cin)
-        bn = _BNParams(self.features, name="bn")()
-        return kd, bd, bn
-
-
-class _FusionParams(nn.Module):
-    """SkipFusion's parameter tree (the inner 1x1 conv) without the compute."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, cin: int):
-        return _Conv1x1Params(self.features, name="conv")(cin)
-
-
 class EncoderStage(nn.Module):
     """n_convs ReLU convs then 2x2/2 max-pool.
 
@@ -356,85 +283,22 @@ class HallucinationNet(nn.Module):
         x = conv(512, 3, dtype=self.dtype, name="latent_conv")(x)
         x = nn.relu(batch_norm(train, name="latent_bn", dtype=self.dtype)(x))
 
-        # one fused Pallas pass for dec1 + skip1 + head + skip0 when eligible
-        # (eval mode on TPU, supported geometry): the tail's 64-channel 512^2
-        # intermediates otherwise round-trip ~20 GB of HBM at b64
-        # (ops.pallas.dec_tail_pallas)
-        from singlehdr_tpu.ops.pallas import dec_tail_pallas
-
-        import os
-
-        b, hh, ww, _ = bgr.shape
-        # SINGLEHDR_FORCE_FUSED_DEC=1 engages the fused tail off-TPU under
-        # the Pallas interpreter — the CPU full-model parity test's hook
-        force_dec = os.environ.get("SINGLEHDR_FORCE_FUSED_DEC") == "1"
-        use_fused_tail = (
-            not train
-            and _fused_dec_enabled()
-            and (jax.default_backend() == "tpu" or force_dec)
-            and dec_tail_pallas.supported((b, 2 * _ENC[0][0], hh // 2, ww // 2),
-                                          _ENC[0][0])
-        )
-        # the upper decoder stages fuse the same way (stage + skip, no tail)
-        # when their low-res geometry also qualifies; each fused stage's NCHW
-        # output chains into the next fused pass without a transpose.  The
-        # fused run is a contiguous suffix dec_k..dec2 ending in the tail.
-        dec_cin = {1: 128, 2: 256, 3: 512, 4: 512, 5: 512}
-        fuse_set: set[int] = set()
-        if use_fused_tail:
-            for i in range(2, len(_ENC) + 1):
-                if not dec_tail_pallas.supported(
-                    (b, dec_cin[i], hh >> i, ww >> i), _ENC[i - 1][0]
-                ):
-                    break
-                fuse_set.add(i)
-        interpret = jax.default_backend() != "tpu"
-
-        x_nchw = False
+        # NOTE: a fused Pallas decoder (composite upsample-conv + BN + skip
+        # fusion + 3-channel tail chained channels-major, git history
+        # 4dc5c17..431170e) was built and measured AGAINST this dense path
+        # and lost end-to-end at every geometry tried (b64 @ 512^2 bf16:
+        # 278.8 ms full suffix / 274.3 ms tail-only vs 260.5 ms dense) —
+        # the 2x2 phase-layout conversion of the wide skip/output tensors
+        # costs ~35 ms per 2.1 GB on v5e in XLA or in-kernel, which no
+        # fusion saving amortizes.  Measurements in BENCH_NOTES.md; the
+        # dense path below (fused upsample-conv + _SplitConv1x1 + NCHW
+        # tail) is the winner.
         for i, (skip, s_nchw) in zip(range(len(_ENC), 0, -1), reversed(skips)):
-            if i == 1 and use_fused_tail:
-                break
             f = _ENC[i - 1][0]
-            if i in fuse_set:
-                if not x_nchw:  # boundary into the fused suffix
-                    x = jnp.transpose(x, (0, 3, 1, 2))
-                    x_nchw = True
-                if not s_nchw:
-                    skip = jnp.transpose(skip, (0, 3, 1, 2))
-                kd, bd, bn = _DecStageParams(f, name=f"dec{i}")(dec_cin[i])
-                ksk, bsk = _FusionParams(f, name=f"skip{i}")(2 * f)
-                x = dec_tail_pallas.dec_stage_fused(
-                    x, skip.astype(self.dtype),
-                    dec_tail_pallas.DecStageParams(kd, bd, *bn, ksk, bsk),
-                    interpret=interpret,
-                )
-                continue
             x = DecoderStage(f, dtype=self.dtype, name=f"dec{i}")(x, train)
-            emit_nchw = (i - 1 in fuse_set) or (i - 1 == 1 and use_fused_tail)
             x = SkipFusion(
                 f, dtype=self.dtype, skip_nchw=s_nchw, name=f"skip{i}",
-                out_nchw=emit_nchw,
             )(x, skip)
-            x_nchw = emit_nchw
-
-        if use_fused_tail:
-            f = _ENC[0][0]
-            skip1, s1_nchw = skips[0]
-            if not s1_nchw:
-                skip1 = jnp.transpose(skip1, (0, 3, 1, 2))
-            kd, bd, bn1 = _DecStageParams(f, name="dec1")(2 * f)
-            ksk, bsk = _FusionParams(f, name="skip1")(2 * f)
-            kh, bh = _Conv1x1Params(3, name="head_conv")(f)
-            bn2 = _BNParams(3, name="head_bn")()
-            k0, b0 = _FusionParams(3, name="skip0")(6)
-            out = dec_tail_pallas.dec_tail_fused(
-                x, skip1.astype(self.dtype), bgr,
-                dec_tail_pallas.DecTailParams(
-                    kd, bd, *bn1, ksk, bsk, kh, bh, *bn2, k0, b0
-                ),
-                interpret=interpret,
-            )
-            return out.astype(jnp.float32)  # BGR residual
 
         # 3-channel tail in NCHW: NHWC would carry every [.,3] tensor padded
         # to 128 lanes through head_conv/BN/skip0 (~4 GB each at b64 @ 512^2)

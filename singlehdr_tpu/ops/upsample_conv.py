@@ -79,9 +79,8 @@ def upsample_conv_rings(x: jnp.ndarray, k: jnp.ndarray):
     the resize clamp), but the high-res conv's SAME *zero* padding differs
     from clamping on the outermost ring.  These strips recompute that ring
     from thin exact upsample slices (resize of a 2-wide slice matches the
-    global resize on its outer two samples).  Shared by the XLA fused path
-    below and the Pallas fused decoder stage (ops.pallas.dec_tail_pallas),
-    both of which paste them over the composite-conv interior.
+    global resize on its outer two samples); ``upsample_conv_x2`` pastes
+    them over the composite-conv interior.
 
     Returns ``(top, bottom, left, right)``: [b,1,2w,cout] x2, [b,2h,1,cout]
     x2, in x.dtype.  W rings include the true corner values.
