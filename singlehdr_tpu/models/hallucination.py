@@ -190,7 +190,6 @@ class _SplitConv1x1(nn.Module):
     features: int
     dtype: Any = jnp.float32
     y_nchw: bool = False
-    out_nchw: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -204,18 +203,14 @@ class _SplitConv1x1(nn.Module):
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
         k = kernel[0, 0].astype(self.dtype)
-        # out_nchw emits channels-major directly (the fused decoder tail's
-        # input layout) — same contraction, different einsum output spec
-        o = "bohw" if self.out_nchw else "bhwo"
-        out = jnp.einsum(f"bhwc,co->{o}", x.astype(self.dtype), k[:cx])
+        out = jnp.einsum("bhwc,co->bhwo", x.astype(self.dtype), k[:cx])
         if self.y_nchw:
             # channels-major skip (fused encoder output) reads at full lane
             # bandwidth; the contraction is the same 1x1 conv
-            out = out + jnp.einsum(f"bihw,io->{o}", y.astype(self.dtype), k[cx:])
+            out = out + jnp.einsum("bihw,io->bhwo", y.astype(self.dtype), k[cx:])
         else:
-            out = out + jnp.einsum(f"bhwc,co->{o}", y.astype(self.dtype), k[cx:])
-        b = bias.astype(out.dtype)
-        return out + (b[None, :, None, None] if self.out_nchw else b)
+            out = out + jnp.einsum("bhwc,co->bhwo", y.astype(self.dtype), k[cx:])
+        return out + bias.astype(out.dtype)
 
 
 class SkipFusion(nn.Module):
@@ -229,7 +224,6 @@ class SkipFusion(nn.Module):
     dtype: Any = jnp.float32
     nchw: bool = False
     skip_nchw: bool = False
-    out_nchw: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
@@ -238,14 +232,13 @@ class SkipFusion(nn.Module):
         saxis = 1 if (self.nchw or self.skip_nchw) else -1
         if (x.shape[caxis] + skip.shape[saxis]) * self.features <= 64:
             assert not self.skip_nchw, "narrow mixed-layout fusion unsupported"
-            assert not self.out_nchw, "narrow out_nchw unsupported"
             return _NarrowConv1x1(
                 self.features, dtype=self.dtype, nchw=self.nchw, name="conv"
             )(x, skip)
         assert not self.nchw, "wide NCHW skip fusion unsupported"
         return _SplitConv1x1(
             self.features, dtype=self.dtype, y_nchw=self.skip_nchw,
-            out_nchw=self.out_nchw, name="conv",
+            name="conv",
         )(x, skip)
 
 
