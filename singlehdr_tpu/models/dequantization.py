@@ -27,5 +27,5 @@ class DequantizationNet(nn.Module):
             dtype=self.dtype,
             fast_convs=self.fast_convs,
             name="unet",
-        )(ldr)
+        )(ldr, train)
         return (ldr.astype(res.dtype) + jnp.tanh(res)).astype(jnp.float32)

@@ -27,6 +27,6 @@ class RefinementNet(nn.Module):
             dtype=self.dtype,
             fast_convs=self.fast_convs,
             name="unet",
-        )(abc)
+        )(abc, train)
         out = abc[..., 0:3].astype(res.dtype) + res
         return nn.relu(out).astype(jnp.float32)

@@ -21,10 +21,55 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from singlehdr_tpu.models.layers import PackedConv, UpsampleConv, conv, leaky_relu
+from singlehdr_tpu.models.layers import (
+    PackedConv,
+    UpsampleConv,
+    conv,
+    glorot,
+    leaky_relu,
+)
 from singlehdr_tpu.ops.resize import avg_pool_2x2, resize_bilinear_x2
+
+
+def _fused_unet_enabled() -> bool:
+    import os
+
+    return os.environ.get("SINGLEHDR_FUSED_UNET", "1") == "1"
+
+
+class _ConvParams(nn.Module):
+    """Owns an nn.Conv-compatible (kernel, bias) pair without computing the
+    conv — the fused encoder kernel (ops.pallas.unet_stage_pallas) consumes
+    the raw weights.  Param names/shapes/initializers match ``layers.conv``
+    exactly, so the fused and dense paths share one checkpoint layout."""
+
+    features: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param(
+            "kernel", glorot(),
+            (self.kernel, self.kernel, cin, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
+class _StageParams(nn.Module):
+    """conv1+conv2 param owner named like DownStage, for the fused path."""
+
+    features: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        p1 = _ConvParams(self.features, self.kernel, name="conv1")(cin)
+        p2 = _ConvParams(self.features, self.kernel, name="conv2")(self.features)
+        return p1, p2
 
 
 def _stage_conv(features, kernel, act, dtype, fast_convs, name):
@@ -47,8 +92,9 @@ class DownStage(nn.Module):
     fast_convs: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = avg_pool_2x2(x)
+    def __call__(self, x: jnp.ndarray, pre_pooled: bool = False) -> jnp.ndarray:
+        if not pre_pooled:
+            x = avg_pool_2x2(x)
         for name in ("conv1", "conv2"):
             x = _stage_conv(
                 self.features, self.kernel, "leaky_relu", self.dtype,
@@ -113,25 +159,61 @@ class ResidualUNet(nn.Module):
     max_pack_pixels: int = 16 * 512 * 512
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         fast = (
             self.fast_convs
             and x.shape[0] * x.shape[1] * x.shape[2] <= self.max_pack_pixels
         )
         x = x.astype(self.dtype)
-        h = self._stem("stem1", fast)(x)
-        h = self._stem("stem2", fast)(h)
-        skips = [h]
+        # Eval-mode fused channels-major encoder chain (ops.pallas.
+        # unet_stage_pallas): the dense NHWC form lane-pads the C=3-32 stages
+        # 8-42x; the fused stages chain NCHW with no padded tensor ever
+        # materialized.  Parameters are identical between the paths.  The
+        # packed regime (small workloads) keeps the packed convs, which
+        # already fix the underfill there.
+        n_fused = 0 if (train or fast) else self._fused_prefix(x.shape)
+        if n_fused:
+            from singlehdr_tpu.ops.pallas.unet_stage_pallas import unet_stage2
+
+            k1, b1 = _ConvParams(
+                self.stem_features, self.stem_kernel, name="stem1"
+            )(x.shape[-1])
+            k2, b2 = _ConvParams(
+                self.stem_features, self.stem_kernel, name="stem2"
+            )(self.stem_features)
+            h, a = unet_stage2(
+                x, k1.astype(self.dtype), b1, k2.astype(self.dtype), b2
+            )
+            skips = [a]
+            for i in range(n_fused - 1):
+                f, k = self.down_features[i], self.down_kernels[i]
+                (k1, b1), (k2, b2) = _StageParams(f, k, name=f"down{i + 2}")(
+                    h.shape[1]
+                )
+                h, a = unet_stage2(
+                    h, k1.astype(self.dtype), b1, k2.astype(self.dtype), b2,
+                    nchw_in=True,
+                )
+                skips.append(a)
+            # boundary: the dense remainder and the decoder are NHWC
+            h = jnp.transpose(h, (0, 2, 3, 1))
+            skips = [jnp.transpose(s, (0, 2, 3, 1)) for s in skips]
+        else:
+            h = self._stem("stem1", fast)(x)
+            h = self._stem("stem2", fast)(h)
+            skips = [h]
         for i, (f, k) in enumerate(zip(self.down_features, self.down_kernels)):
+            if i < n_fused - 1:
+                continue  # stage already fused above
             h = DownStage(
                 f, k, dtype=self.dtype, fast_convs=fast,
                 name=f"down{i + 2}",
-            )(h)
+            )(h, pre_pooled=(n_fused > 0 and i == n_fused - 1))
             skips.append(h)
         h = DownStage(
             self.bottleneck_features, 3, dtype=self.dtype,
             fast_convs=fast, name="bottleneck",
-        )(h)
+        )(h, pre_pooled=(n_fused == len(self.down_features) + 1))
         up_widths = [self.stem_features, *self.down_features][::-1]  # e.g. [128,64,32,16]
         for i, (f, skip) in enumerate(zip(up_widths, reversed(skips))):
             h = UpStage(
@@ -139,6 +221,28 @@ class ResidualUNet(nn.Module):
                 name=f"up{len(skips) - i}",
             )(h, skip)
         return self._head(fast)(h)
+
+    def _fused_prefix(self, shape) -> int:
+        """Longest kernelizable prefix of encoder stages (stems, down2, ...).
+
+        Each stage needs W % 128 / H % 16 at its own scale, so the prefix
+        shrinks as the spatial dims halve (at 512^2: stems + down2 + down3;
+        the 64^2-and-below stages stay dense — C >= 128 there no longer
+        lane-pads)."""
+        if jax.default_backend() != "tpu" or not _fused_unet_enabled():
+            return 0
+        from singlehdr_tpu.ops.pallas.unet_stage_pallas import supported
+
+        b, h, w, _ = shape
+        if not supported(shape, self.stem_kernel, self.stem_features):
+            return 0
+        n, ch = 1, self.stem_features
+        h, w = h // 2, w // 2
+        for f, k in zip(self.down_features, self.down_kernels):
+            if not supported((b, ch, h, w), k, f, nchw=True):
+                break
+            n, ch, h, w = n + 1, f, h // 2, w // 2
+        return n
 
     def _stem(self, name: str, fast: bool):
         """Stem conv + leaky ReLU; packed-lane kernel on the fast path."""

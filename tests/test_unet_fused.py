@@ -1,0 +1,149 @@
+"""Fused U-Net encoder stage (ops/pallas/unet_stage_pallas.py).
+
+Mosaic-only primitives (pltpu.roll/bitcast) don't run under the CPU
+interpreter, so the kernel itself is validated on hardware (the TPU-gated
+tests below, exercised by tools/profile_stages.py runs and the bench); the
+CPU suite pins (a) the XLA fallback oracle against the dense flax path it
+must equal, (b) the static gate, and (c) that the fused path's param-owner
+modules initialize identically to the dense convs (one checkpoint layout).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flax.linen as nn
+
+from singlehdr_tpu.models.unet import DownStage, ResidualUNet, _ConvParams
+from singlehdr_tpu.ops.pallas import unet_stage_pallas as m
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.mark.parametrize("kernel", [3, 5, 7])
+def test_xla_reference_matches_dense_stage(rng, kernel):
+    """Oracle == leaky convs + the next stage's entry avg-pool (models/unet)."""
+
+    class TwoConvs(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            # DownStage without the entry pool = the fused stage's conv pair
+            return DownStage(8, kernel, fast_convs=False, name="s")(
+                x, pre_pooled=True
+            )
+
+    x = jnp.asarray(rng.rand(2, 16, 16, 5).astype(np.float32))
+    mod = TwoConvs()
+    v = mod.init(jax.random.PRNGKey(0), x)
+    act = mod.apply(v, x)
+    from singlehdr_tpu.ops.resize import avg_pool_2x2
+
+    pooled = avg_pool_2x2(act)
+    p = v["params"]["s"]
+    pooled2, act2 = m._xla_reference(
+        x, p["conv1"]["kernel"], p["conv1"]["bias"],
+        p["conv2"]["kernel"], p["conv2"]["bias"],
+    )
+    np.testing.assert_allclose(np.asarray(act), np.asarray(act2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(pooled2), atol=1e-5)
+
+
+def test_shape_gate():
+    assert m.supported((64, 512, 512, 3), 7, 16)            # stems @ 512^2
+    assert m.supported((64, 16, 256, 256), 5, 32, nchw=True)  # down2 chained
+    assert m.supported((64, 32, 128, 128), 3, 64, nchw=True)  # down3 chained
+    assert not m.supported((64, 64, 64, 64), 3, 128, nchw=True)   # W % 128
+    assert not m.supported((64, 512, 500, 3), 7, 16)        # W % 128
+    assert not m.supported((64, 24, 512, 3), 7, 16)         # H % 16
+    assert not m.supported((64, 512, 512, 3), 9, 16)        # K not in 3/5/7
+
+
+def test_fused_prefix_geometry():
+    net = ResidualUNet()
+    # CPU backend: always 0 (fused path is TPU-only)
+    assert net._fused_prefix((4, 512, 512, 3)) == 0
+
+
+def test_param_owner_matches_dense_conv_init():
+    """_ConvParams must produce the exact init nn.Conv would (same path)."""
+    from singlehdr_tpu.models.layers import conv
+
+    class Dense(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return conv(16, 7, name="c")(x)
+
+    class Owner(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return _ConvParams(16, 7, name="c")(x.shape[-1])
+
+    x = jnp.zeros((1, 8, 8, 3))
+    key = jax.random.PRNGKey(3)
+    pd = Dense().init(key, x)["params"]["c"]
+    po = Owner().init(key, x)["params"]["c"]
+    assert pd["kernel"].shape == po["kernel"].shape == (7, 7, 3, 16)
+    np.testing.assert_array_equal(np.asarray(pd["kernel"]), np.asarray(po["kernel"]))
+    np.testing.assert_array_equal(np.asarray(pd["bias"]), np.asarray(po["bias"]))
+
+
+def test_env_gate(monkeypatch):
+    from singlehdr_tpu.models.unet import _fused_unet_enabled
+
+    monkeypatch.setenv("SINGLEHDR_FUSED_UNET", "0")
+    assert not _fused_unet_enabled()
+    monkeypatch.delenv("SINGLEHDR_FUSED_UNET", raising=False)
+    assert _fused_unet_enabled()
+
+
+# ---------------------------------------------------------------------------
+# Hardware parity (run on the TPU host; skipped in the CPU suite)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel needs TPU")
+@pytest.mark.parametrize(
+    "kernel,cin,f,h,w",
+    [(7, 3, 16, 64, 512), (5, 16, 32, 32, 256), (3, 32, 64, 32, 128)],
+)
+def test_kernel_matches_oracle_on_device(rng, kernel, cin, f, h, w):
+    x = jnp.asarray(rng.rand(2, h, w, cin).astype(np.float32) - 0.5)
+    wk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.1)
+    w1, b1 = wk(kernel, kernel, cin, f), wk(f)
+    w2, b2 = wk(kernel, kernel, f, f), wk(f)
+    pooled, act = m.unet_stage2(x, w1, b1, w2, b2)
+    pooled_o, act_o = m._xla_reference(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(
+        np.asarray(act), np.asarray(jnp.transpose(act_o, (0, 3, 1, 2))),
+        atol=2e-4, rtol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled), np.asarray(jnp.transpose(pooled_o, (0, 3, 1, 2))),
+        atol=2e-4, rtol=2e-4,
+    )
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel needs TPU")
+def test_unet_fused_matches_dense_on_device(rng):
+    """Full deq U-Net, fused chain vs SINGLEHDR_FUSED_UNET=0 dense path."""
+    import os
+
+    x = jnp.asarray(rng.rand(2, 512, 512, 3).astype(np.float32))
+    net = ResidualUNet(dtype=jnp.bfloat16, fast_convs=False)
+    v = net.init(jax.random.PRNGKey(0), x)
+    fused = net.apply(v, x)
+    os.environ["SINGLEHDR_FUSED_UNET"] = "0"
+    try:
+        dense = net.apply(v, x)
+    finally:
+        del os.environ["SINGLEHDR_FUSED_UNET"]
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(dense, np.float32),
+        atol=5e-2, rtol=5e-2,  # bf16 accumulation-order noise through 5 scales
+    )
