@@ -7,12 +7,18 @@ before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# SINGLEHDR_TEST_TPU=1 opts out of the CPU pin so the hardware-gated tests
+# (e.g. tests/test_unet_fused.py Mosaic parity) run on the real chip:
+#   SINGLEHDR_TEST_TPU=1 python -m pytest tests/test_unet_fused.py -q
+_USE_TPU = os.environ.get("SINGLEHDR_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
@@ -20,7 +26,8 @@ import jax  # noqa: E402
 # The hosted TPU PJRT plugin ("axon") registers itself regardless of
 # JAX_PLATFORMS; pin the default platform explicitly so the suite never
 # dispatches over the device tunnel.
-jax.config.update("jax_platform_name", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platform_name", "cpu")
 
 # Persistent compilation cache: the hal/joint/finetune steps cost minutes of
 # XLA-CPU compile; cache them across suite runs.
