@@ -485,8 +485,10 @@ def import_net_weights(
             target_variables.get("batch_stats", {}), imported["batch_stats"]
         ),
     }
-    # the carried framework-default is not checkpoint data
+    # the carried framework-default is not checkpoint data, but it is not an
+    # unmapped-variable failure either ("kept" guards those): report it in
+    # its own bucket
     stats["imported"] -= carried
-    stats["kept"] += carried
+    stats["carried"] = carried
     out["_import_stats"] = dict(stats)
     return out

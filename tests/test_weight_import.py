@@ -102,7 +102,9 @@ def test_roundtrip_import_is_exact_and_complete(net, tmp_path):
     n_params = len(_flatten(variables["params"])) + len(
         _flatten(variables.get("batch_stats", {}))
     )
-    assert stats["imported"] == n_params, f"mapping gaps: {stats}"
+    assert (
+        stats["imported"] == n_params - stats.get("carried", 0)
+    ), f"mapping gaps: {stats}"
     assert stats["kept"] == 0
 
     for (pa, a), (pb, b) in zip(
