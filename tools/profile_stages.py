@@ -20,8 +20,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(x):
+    """Host-readback fence: provably waits for ``x``'s dependency chain on
+    every runtime (the tunnel's block_until_ready proved unreliable across
+    host-image updates — see bench.py).  Scalar slice, not ravel: an eager
+    ravel of a non-default-layout output materializes a full copy, which can
+    tip a near-HBM-peak workload into OOM."""
+    leaf = jax.tree.leaves(x)[0]
+    idx = tuple(0 for _ in getattr(leaf, "shape", ()))
+    return np.asarray(jax.device_get(leaf[idx] if idx else leaf))
+
+
 def measure(fn, *args, iters=6, warmup=2):
-    """Compile once; return (ms, flops_TF, bytes_GB, compile_s)."""
+    """Compile once; return (ms, flops_TF, bytes_GB, compile_s).
+
+    The axon runtime memoizes identical dispatches (same executable + same
+    input buffers re-run in ~0 ms), so iterations are dependency-chained:
+    the first array arg carries a 0-weighted scalar tap of the previous
+    output, making every dispatch unique and ordered (see bench.py)."""
     t0 = time.time()
     compiled = jax.jit(fn).lower(*args).compile()
     tf_, gb = 0.0, 0.0
@@ -32,14 +48,26 @@ def measure(fn, *args, iters=6, warmup=2):
         gb = float(c.get("bytes accessed", 0)) / 1e9
     except Exception:
         pass
-    jax.block_until_ready(compiled(*args))
+    _sync(compiled(*args))
     compile_s = time.time() - t0
+
+    leaves, treedef = jax.tree.flatten(args)
+    taint = jax.jit(
+        lambda leaf, out: leaf
+        + (jnp.ravel(jax.tree.leaves(out)[0])[0] * 0).astype(leaf.dtype)
+    )
+
+    def chained(prev_out):
+        return treedef.unflatten([taint(leaves[0], prev_out)] + leaves[1:])
+
+    out = compiled(*args)
     for _ in range(warmup):
-        jax.block_until_ready(compiled(*args))
+        out = compiled(*chained(out))
+    _sync(out)
     t0 = time.time()
     for _ in range(iters):
-        out = compiled(*args)
-    jax.block_until_ready(out)
+        out = compiled(*chained(out))
+    _sync(out)
     ms = (time.time() - t0) / iters * 1000.0
     return ms, tf_, gb, compile_s
 
