@@ -120,6 +120,10 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--out", default=os.path.join(REPO, "QUALITY_r02.json"))
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--ckpt_every", type=int, default=600,
+                   help="checkpoint cadence for every stage; the tunnel to "
+                   "the chip drops periodically and the loops resume from "
+                   "the last checkpoint, so sparse cadences lose wall-clock")
     args = p.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -153,7 +157,7 @@ def main():
              "--deq_ckpt", ck("deq"), "--lin_ckpt", ck("lin"),
              "--hal_ckpt", ck("hal"),
              "--iterations", str(args.steps),
-             "--ckpt_every", str(max(200, args.steps // 2)),
+             "--ckpt_every", str(args.ckpt_every),
              *jpeg, *common]
         ))
         print(f"[pretrain {net}] {args.steps} steps in {time.time() - t0:.0f}s",
@@ -165,7 +169,7 @@ def main():
          "--deq_ckpt", ck("deq"), "--lin_ckpt", ck("lin"),
          "--hal_ckpt", ck("hal"), "--jnt_ckpt", ck("jnt"),
          "--iterations", str(args.joint_steps),
-         "--ckpt_every", str(max(200, args.joint_steps // 2)),
+         "--ckpt_every", str(args.ckpt_every),
          *common]
     ))
     print(f"[joint] {args.joint_steps} steps in {time.time() - t0:.0f}s", flush=True)
