@@ -47,10 +47,25 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
-def _fused_enc_enabled() -> bool:
+# Measured fused-stage HBM budget (v5e, compiled.memory_analysis(), BENCH_NOTES
+# "Round-3 honest re-measurement"): the fused chain's NCHW skips pick up
+# second-layout copies at their decoder consumers, costing up to +6 GiB of XLA
+# temp arena at b96 @ 512^2.  A per-stage load cap of B*H*W*F <= ~1.4e9
+# reproduces every measured fit: enc1 fused through b80 @ 512^2 (b64: 1.07e9
+# fits+wins; b96: 1.61e9 OOMs), enc2 fused through b128 (1.07e9, arena-free).
+_FUSED_ARENA_BUDGET = 1_400_000_000
+
+
+def _fused_enc_allowed(load: int) -> bool:
+    """Fused-encoder policy: SINGLEHDR_FUSED_ENC=0 forces off, =1 forces on
+    (experiments — the caller owns the HBM risk); unset applies the measured
+    arena budget above."""
     import os
 
-    return os.environ.get("SINGLEHDR_FUSED_ENC", "1") == "1"
+    mode = os.environ.get("SINGLEHDR_FUSED_ENC")
+    if mode is not None:
+        return mode == "1"
+    return load <= _FUSED_ARENA_BUDGET
 
 
 class EncoderStage(nn.Module):
@@ -76,10 +91,14 @@ class EncoderStage(nn.Module):
             supported,
         )
 
+        if nchw:
+            b, _, h, w = x.shape
+        else:
+            b, h, w = x.shape[:3]
         if (
             not train
             and self.n_convs == 2
-            and _fused_enc_enabled()
+            and _fused_enc_allowed(b * h * w * self.features)
             and jax.default_backend() == "tpu"
             and supported(x.shape, self.features, nchw=nchw)
         ):

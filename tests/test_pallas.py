@@ -114,7 +114,7 @@ def test_enc_pool_xla_reference_matches_dense_stage(rng):
 
 
 def test_enc_pool_shape_gate(monkeypatch):
-    from singlehdr_tpu.models.hallucination import _fused_enc_enabled
+    from singlehdr_tpu.models.hallucination import _fused_enc_allowed
     from singlehdr_tpu.ops.pallas import enc_pool_pallas as m
 
     assert m.supported((64, 512, 512, 3), 64)
@@ -122,6 +122,12 @@ def test_enc_pool_shape_gate(monkeypatch):
     assert not m.supported((64, 512, 500, 3), 64)   # W % 128
     assert not m.supported((64, 24, 512, 3), 64)    # H % 16
     monkeypatch.setenv("SINGLEHDR_FUSED_ENC", "0")
-    assert not _fused_enc_enabled()
+    assert not _fused_enc_allowed(1)
+    monkeypatch.setenv("SINGLEHDR_FUSED_ENC", "1")
+    assert _fused_enc_allowed(10**18)  # explicit on overrides the budget
     monkeypatch.delenv("SINGLEHDR_FUSED_ENC", raising=False)
-    assert _fused_enc_enabled()
+    # measured arena budget (BENCH_NOTES r3): enc1 fits at b64 @ 512^2,
+    # OOMs at b96; enc2 stays allowed through b128
+    assert _fused_enc_allowed(64 * 512 * 512 * 64)
+    assert not _fused_enc_allowed(96 * 512 * 512 * 64)
+    assert _fused_enc_allowed(128 * 256 * 256 * 128)
