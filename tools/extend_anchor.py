@@ -22,6 +22,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
 def main():
@@ -44,7 +45,7 @@ def main():
     p.add_argument("--note", default="")
     args = p.parse_args()
 
-    from singlehdr_tpu.cli import evaluate, finetune, joint_train
+    from quality_anchor import parse_result_line, run_stage
 
     W = args.workdir
     ck = lambda n: os.path.join(W, "ck_" + n)
@@ -55,7 +56,7 @@ def main():
             raise SystemExit(f"missing {path}: run tools/quality_anchor.py first")
 
     t0 = time.time()
-    joint_train.run(joint_train.build_parser().parse_args([
+    run_stage("joint_train", [
         "--dir", synth,
         "--deq_ckpt", ck("deq"), "--lin_ckpt", ck("lin"),
         "--hal_ckpt", ck("hal"), "--jnt_ckpt", ck("jnt"),
@@ -63,27 +64,27 @@ def main():
         "--batch_size", str(args.batch), "--patch_size", "256",
         "--dtype", args.dtype, "--workers", str(args.workers),
         "--log_every", "100",
-    ]))
+    ])
     print(f"[joint -> {args.joint_iters}] {time.time() - t0:.0f}s", flush=True)
 
     t0 = time.time()
     ref = ck(args.ref_name)
-    finetune.run(finetune.build_parser().parse_args([
+    run_stage("finetune", [
         "--records", records,
         "--deq_ckpt", ck("jnt"), "--lin_ckpt", ck("jnt"),
         "--hal_ckpt", ck("jnt"), "--ref_ckpt", ref,
         "--epochs", str(args.finetune_epochs),
         "--batch_size", "4", "--dtype", args.dtype,
-    ]))
+    ])
     print(f"[finetune {args.finetune_epochs} ep] {time.time() - t0:.0f}s",
           flush=True)
 
-    results = evaluate.run(evaluate.build_parser().parse_args([
+    results = parse_result_line(run_stage("evaluate", [
         "--records", records, "--prefix", "test",
         "--deq_ckpt", ref, "--lin_ckpt", ref,
         "--hal_ckpt", ref, "--ref_ckpt", ref,
         "--batch_size", "4",
-    ]))
+    ], capture=True).stdout)
     summary = {
         "psnr_mu": results.get("psnr_mu_db"),
         "ssim_mu": results.get("ssim_mu"),

@@ -108,6 +108,39 @@ def make_dataset(workdir: str, n_train: int, n_test: int):
     return synth, real
 
 
+
+def run_stage(module: str, argv, capture: bool = False):
+    """Run one CLI stage in a FRESH process.
+
+    The training stages used to run in-process via ``cli.<mod>.run(...)``;
+    after the 2026-08-18 host-image update the tunnel client degrades inside
+    a long-lived process (the r3 single-process run kernel-spun for ~45 min
+    at the joint stage with all prior stages' state resident — 60 GB RSS,
+    4:1 system:user CPU — while a fresh process ran the same stage
+    immediately).  Subprocess isolation also guarantees each stage starts
+    from clean HBM (see bench.py's ladder for the same pattern).
+    """
+    import subprocess
+
+    cmd = [sys.executable, "-m", f"singlehdr_tpu.cli.{module}", *argv]
+    t0 = time.time()
+    proc = subprocess.run(
+        cmd, cwd=REPO, capture_output=capture, text=True
+    )
+    if proc.returncode:
+        if capture:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+        raise SystemExit(f"{module} failed ({proc.returncode})")
+    print(f"[{module}] done in {time.time() - t0:.0f}s", flush=True)
+    return proc
+
+
+def parse_result_line(stdout: str) -> dict:
+    return json.loads(
+        [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", default="/tmp/shdr_anchor")
@@ -131,14 +164,6 @@ def main():
     synth, real = make_dataset(args.workdir, args.n_train, args.n_test)
     print(f"[data] {args.n_train} train + {args.n_test} eval scenes", flush=True)
 
-    from singlehdr_tpu.cli import (
-        convert_records,
-        evaluate,
-        finetune,
-        joint_train,
-        train,
-    )
-
     ck = lambda n: os.path.join(args.workdir, "ck_" + n)
     common = [
         "--batch_size", str(args.batch),
@@ -152,26 +177,24 @@ def main():
         # the JPEG round-trip only feeds the deq input (train.py:51-59); lin
         # and hal never consume it, so skip the host JPEG work for their runs
         jpeg = ["--jpeg", "true" if net == "deq" else "false"]
-        train.run(train.build_parser().parse_args(
+        run_stage("train",
             ["--hdrdir", synth, f"--{net}", "true",
              "--deq_ckpt", ck("deq"), "--lin_ckpt", ck("lin"),
              "--hal_ckpt", ck("hal"),
              "--iterations", str(args.steps),
              "--ckpt_every", str(args.ckpt_every),
-             *jpeg, *common]
-        ))
+             *jpeg, *common])
         print(f"[pretrain {net}] {args.steps} steps in {time.time() - t0:.0f}s",
               flush=True)
 
     t0 = time.time()
-    joint_train.run(joint_train.build_parser().parse_args(
+    run_stage("joint_train",
         ["--dir", synth,
          "--deq_ckpt", ck("deq"), "--lin_ckpt", ck("lin"),
          "--hal_ckpt", ck("hal"), "--jnt_ckpt", ck("jnt"),
          "--iterations", str(args.joint_steps),
          "--ckpt_every", str(args.ckpt_every),
-         *common]
-    ))
+         *common])
     print(f"[joint] {args.joint_steps} steps in {time.time() - t0:.0f}s", flush=True)
 
     records = os.path.join(args.workdir, "records")
@@ -186,29 +209,26 @@ def main():
                 dst = os.path.join(sub, d, f"{i}{ext}")
                 if not os.path.exists(dst):
                     os.link(src, dst)
-        convert_records.run(convert_records.build_parser().parse_args(
+        run_stage("convert_records",
             ["--dir", sub, "--out", records, "--prefix", prefix,
-             "--patch_size", "256", "--patch_stride", "128"]
-        ))
+             "--patch_size", "256", "--patch_stride", "128"])
     print("[records] converted", flush=True)
 
     t0 = time.time()
-    finetune.run(finetune.build_parser().parse_args(
+    run_stage("finetune",
         ["--records", records,
          "--deq_ckpt", ck("jnt"), "--lin_ckpt", ck("jnt"),
          "--hal_ckpt", ck("jnt"), "--ref_ckpt", ck("ref"),
          "--epochs", str(args.finetune_epochs),
-         "--batch_size", "4", "--dtype", args.dtype]
-    ))
+         "--batch_size", "4", "--dtype", args.dtype])
     print(f"[finetune] {args.finetune_epochs} epochs in {time.time() - t0:.0f}s",
           flush=True)
 
-    results = evaluate.run(evaluate.build_parser().parse_args(
+    results = parse_result_line(run_stage("evaluate",
         ["--records", records, "--prefix", "test",
          "--deq_ckpt", ck("ref"), "--lin_ckpt", ck("ref"),
          "--hal_ckpt", ck("ref"), "--ref_ckpt", ck("ref"),
-         "--batch_size", "4"]
-    ))
+         "--batch_size", "4"], capture=True).stdout)
     summary = {
         "psnr_mu": results.get("psnr_mu_db"),
         "ssim_mu": results.get("ssim_mu"),
