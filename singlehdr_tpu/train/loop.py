@@ -267,6 +267,12 @@ def run_synth_training(
                 writer.image(f"{module_name}/jpeg", batch["jpeg"], step)
             if step % cfg.ckpt_every == 0 or step == 1:
                 mgr.save(state)
+        # Final save: without it, a run whose last step is off-cadence hands
+        # downstream stages a checkpoint up to ckpt_every-1 steps stale
+        # (e.g. a 1000-step pretrain at cadence 600 restored from step 600).
+        last = int(state.step)
+        if last > start_step and last != 1 and last % cfg.ckpt_every != 0:
+            mgr.save(state)
         return state
     finally:
         watchdog.disarm()

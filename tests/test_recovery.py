@@ -62,3 +62,41 @@ def test_training_recovers_from_transient_failure(tmp_path, rng):
     )
     assert failures["raised"] == 1          # the failure did happen
     assert int(final.step) == 6             # and training still completed
+
+
+def test_final_offcadence_step_is_checkpointed(tmp_path, rng):
+    """A run whose last step falls off the ckpt_every cadence must still save
+    it — downstream stages restore 'latest', and silently handing them a
+    cadence-stale state cost the r3 anchor 400 steps per pretrain net."""
+    from singlehdr_tpu.train.checkpoint import CheckpointManager
+
+    state = init_net_state(
+        DequantizationNet(), jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)), 1e-4
+    )
+    cfg = LoopConfig(
+        batch_size=2,
+        iterations=5,           # off-cadence final step (5 % 3 != 0)
+        ckpt_every=3,
+        log_every=100,
+        image_log_every=100,
+        n_workers=2,
+        use_jpeg=False,
+        prefetch=1,
+    )
+    run_synth_training(
+        module_name="deq",
+        state=state,
+        step_fn=deq_train_step,
+        dataset=_tiny_dataset(rng),
+        cfg=cfg,
+        ckpt_dir=str(tmp_path / "ck"),
+        log_dir=str(tmp_path / "logs"),
+        batch_to_args=lambda b: (b["ldr"], b["jpeg"], b["mask"]),
+    )
+    restored = CheckpointManager(str(tmp_path / "ck")).restore(
+        init_net_state(
+            DequantizationNet(), jax.random.PRNGKey(1),
+            jnp.zeros((2, 32, 32, 3)), 1e-4,
+        )
+    )
+    assert int(restored.step) == 5
