@@ -95,9 +95,18 @@ class EncoderStage(nn.Module):
             b, _, h, w = x.shape
         else:
             b, h, w = x.shape[:3]
+        # Fusion must CHAIN from the 3-channel stem: a mid-chain fused stage
+        # whose input is still NHWC pays a full NCHW layout-entry transpose
+        # that the kernel win doesn't cover (enc2-only at b128 @ 512^2
+        # measured 122.9 vs 125.0 img/s dense, 2026-08-19 — ROADMAP #9
+        # resolved).  So fuse only when the input is already channels-major
+        # (upstream stage fused) or this is the stem (cin == 3, where the
+        # lane-underfilled dense conv is the thing being fixed).
+        cin_chain = nchw or x.shape[-1] == 3
         if (
             not train
             and self.n_convs == 2
+            and cin_chain
             and _fused_enc_allowed(b * h * w * self.features)
             and jax.default_backend() == "tpu"
             and supported(x.shape, self.features, nchw=nchw)

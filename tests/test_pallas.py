@@ -131,3 +131,19 @@ def test_enc_pool_shape_gate(monkeypatch):
     assert _fused_enc_allowed(64 * 512 * 512 * 64)
     assert not _fused_enc_allowed(96 * 512 * 512 * 64)
     assert _fused_enc_allowed(128 * 256 * 256 * 128)
+
+
+def test_enc_stage_fusion_chains_from_stem(rng, monkeypatch):
+    """A mid-chain stage with an NHWC (non-stem) input must take the dense
+    path even when everything else allows fusion: enc2-only fusion at b128
+    measured a 2% end-to-end LOSS (the NHWC->NCHW entry transpose isn't
+    covered without the fused stem feeding it channels-major)."""
+    from singlehdr_tpu.models.hallucination import EncoderStage
+
+    monkeypatch.setenv("SINGLEHDR_FUSED_ENC", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    x = jnp.asarray(rng.rand(2, 16, 128, 8).astype(np.float32))  # cin=8 NHWC
+    stage = EncoderStage(features=8, n_convs=2)
+    v = stage.init(jax.random.PRNGKey(0), x)
+    _, _, nchw = stage.apply(v, x)
+    assert not nchw  # dense path: fusion may only chain from the 3-ch stem
