@@ -47,12 +47,13 @@ CPU_BASELINE_TRAIN_IMG_S = 0.104
 # at 512^2 is 12.1 GiB @ b96 / 13.0 @ b120 / 12.9 @ b128 dense (b144 fails
 # compile).  The fused hal encoder chain costs +6 GiB of arena at b96 (skip
 # + pooled outputs and halo-pad copies live alongside the dense-path
-# buffers), so it only fits — and only wins — at small batches.  The
-# per-stage arena budget in hallucination._fused_enc_allowed encodes the
-# policy (enc1+enc2 fused through b80, enc2-only above); bench leaves the
-# env unset so that budget decides.  Measured 2026-08-18 (unique-input
-# pipelined loop): b64+fused 100.5, b96 108.2, b120 113.4, b128 125.5
-# img/s dense — b128 is the headline config.
+# buffers), so it only fits — and only wins — at small batches.  Policy
+# lives in the model (hallucination.EncoderStage): fusion chains from the
+# 3-ch stem or not at all (enc2-only measured a 2% loss at b128, fe1e277),
+# bounded per stage by hallucination._fused_enc_allowed's measured arena
+# budget; bench leaves the env unset so that gate decides.  Measured
+# 2026-08-18 (unique-input pipelined loop): b64+fused 100.5, b96 108.2,
+# b120 113.4, b128 125.5 img/s dense — b128 is the headline config.
 BATCH = 128
 SIZE = 512
 WARMUP = 2
@@ -129,7 +130,8 @@ def bench_forward(emit=True):
     # + arena budget) — enc1+enc2 fused through b80 @ 512^2, dense above
     # (enc2-only fusion measured a 2% LOSS at b128: the NHWC->NCHW entry
     # transpose isn't covered without the fused stem, ROADMAP #9 resolved).
-    # An explicit SINGLEHDR_FUSED_ENC overrides (experiments).
+    # An explicit SINGLEHDR_FUSED_ENC overrides only the arena-budget check;
+    # chain-from-stem is structural (see hallucination._fused_enc_allowed).
     pipe = ReverseCameraPipeline(dtype=jnp.dtype(DTYPE))
     rng = np.random.RandomState(0)
 

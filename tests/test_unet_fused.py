@@ -105,6 +105,33 @@ def test_env_gate(monkeypatch):
     assert _fused_unet_enabled()
 
 
+def test_arena_budget_gate(monkeypatch):
+    """_fused_prefix applies hal's measured per-stage arena budget; an
+    explicit SINGLEHDR_FUSED_UNET=1 bypasses it (experiments only)."""
+    from singlehdr_tpu.models.hallucination import _FUSED_ARENA_BUDGET
+    from singlehdr_tpu.models import unet as u
+
+    monkeypatch.delenv("SINGLEHDR_FUSED_UNET", raising=False)
+    assert u._fused_unet_budget() == _FUSED_ARENA_BUDGET
+    monkeypatch.setenv("SINGLEHDR_FUSED_UNET", "1")
+    assert u._fused_unet_budget() is None
+    monkeypatch.delenv("SINGLEHDR_FUSED_UNET", raising=False)
+
+    # geometry-independent check of the prefix's budget clause: pretend the
+    # kernel supports everything and the backend is TPU, then push the stem
+    # load past the budget with a huge batch
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    import singlehdr_tpu.ops.pallas.unet_stage_pallas as k
+
+    monkeypatch.setattr(k, "supported", lambda *a, **kw: True)
+    net = ResidualUNet()
+    assert net._fused_prefix((4, 512, 512, 3)) > 0  # well under budget
+    over_b = _FUSED_ARENA_BUDGET // (512 * 512 * net.stem_features) + 1
+    assert net._fused_prefix((over_b, 512, 512, 3)) == 0
+    monkeypatch.setenv("SINGLEHDR_FUSED_UNET", "1")
+    assert net._fused_prefix((over_b, 512, 512, 3)) > 0  # explicit bypass
+
+
 # ---------------------------------------------------------------------------
 # Hardware parity (run on the TPU host; skipped in the CPU suite)
 # ---------------------------------------------------------------------------
