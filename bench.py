@@ -34,12 +34,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Measured 2026-08-16 on this host (tools/measure_cpu_baseline.py):
-# forward: full 4-net pipeline, 512x512, batch 1, jax CPU backend.
+# The reference's OWN TF2-CPU throughput, measured 2026-08-19 on this host
+# with tools/measure_ref_tf_baseline.py (the reference's real models/losses
+# on the TF2 CPU backend, unique-input per-iter loop) — replacing the
+# round-1 JAX-CPU self-proxy (VERDICT r3 item 3; the proxy numbers were
+# 0.174 fwd / 0.104 train via tools/measure_cpu_baseline.py).
+# forward: full 4-net inference, 512x512, batch 1 — two runs measured
+# 0.1808 and 0.1668 img/s (5.5-6.0 s/img); mean recorded.
 CPU_BASELINE_IMG_S = 0.174
-# joint train: deq+lin+hal step, batch 16 @ 256^2, full losses, jax CPU
-# (153.9 s/step measured 2026-08-16).
-CPU_BASELINE_TRAIN_IMG_S = 0.104
+# joint train: deq+lin+hal step, batch 16 @ 256^2, full losses incl. VGG
+# perceptual + TV, one Adam — 68.8 s/step over a 5-step unique-input run.
+CPU_BASELINE_TRAIN_IMG_S = 0.233
 
 # Best measured throughput config on v5e.  Large batches became compilable
 # once the round-2 memory work landed (fused upsample-convs + NCHW feature
@@ -194,7 +199,7 @@ def bench_forward(emit=True):
     return img_s, batch
 
 
-def bench_train(emit=True):
+def bench_train(emit=True, remat=False):
     from singlehdr_tpu.models import (
         DequantizationNet,
         HallucinationNet,
@@ -226,15 +231,24 @@ def bench_train(emit=True):
     state = init_multi_state(modules, samples, jax.random.PRNGKey(0), 1e-5)
     _sync(jax.tree.leaves(state.params)[0])
     log(f"init: {time.time() - t0:.1f}s")
-    step = make_joint_train_step(Vgg16Features(), dtype=jnp.dtype(DTYPE))
+    # remat=True recomputes each net's forward in the backward instead of
+    # storing activations — the byte-cut experiment the r3 roofline analysis
+    # named (bwd ~ 2x fwd HBM traffic; MXU floor sits 3x below the HBM
+    # floor, so FLOPs are the cheap currency here).
+    step = make_joint_train_step(
+        Vgg16Features(), dtype=jnp.dtype(DTYPE), remat=remat
+    )
 
     flops = None
+    hbm_floor_s = None
     try:
         lowered = step.lower(state, *args)
         cost = lowered.compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops = float(cost.get("flops", 0.0)) or None
         byt = float(cost.get("bytes accessed", 0.0))
+        if byt:
+            hbm_floor_s = byt / 819e9
         if flops and byt:
             # HBM-roofline floor: how much of the step is irreducible memory
             # traffic at v5e's ~819 GB/s (the MFU written-analysis evidence,
@@ -270,12 +284,52 @@ def bench_train(emit=True):
     if flops:
         mfu = flops / step_s / (PEAK_BF16_TFLOPS * 1e12)
         log(f"XLA-counted flops/step: {flops / 1e12:.2f} TF  MFU: {mfu * 100:.1f}%")
+    # Feed-vs-device utilization (VERDICT r3 item 7): the device step above
+    # times synthetic on-device batches; real training is gated by the host
+    # input pipeline, whose measured rate tools/measure_feed.py records.
+    feed_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FEED.json")
+    if os.path.exists(feed_file):
+        try:
+            with open(feed_file) as f:
+                feed = json.load(f)
+            fr = feed.get("feed_img_s")
+            if fr and feed.get("batch") == b and feed.get("size") == s:
+                log(
+                    f"host feed rate: {fr:.1f} img/s "
+                    f"({feed.get('host_cores')} core(s), "
+                    f"native={feed.get('native_available')}) -> device "
+                    f"utilization in real training ~{min(1.0, fr / img_s) * 100:.0f}%"
+                )
+        except Exception as e:
+            log(f"BENCH_FEED.json unreadable: {e}")
+    floor_ratio = None
+    if hbm_floor_s:
+        floor_ratio = step_s / hbm_floor_s
+        log(
+            f"HBM floor ratio: {floor_ratio:.3f} "
+            f"(measured {step_s * 1e3:.1f} ms / floor {hbm_floor_s * 1e3:.1f} ms)"
+        )
+        # Floor-ratio gate (VERDICT r3 item 6): the "structurally
+        # memory-bound" claim is enforced, not asserted — a regression that
+        # decouples the step from its own XLA-counted HBM floor (e.g.
+        # accidentally-stored f32 activations, a serialization bug) fails
+        # the bench loudly.  Budget 1.25 vs 1.12 measured (r3); escape
+        # hatch for experiments on unfamiliar chips.
+        if floor_ratio > 1.25 and os.environ.get("SINGLEHDR_SKIP_FLOOR_GATE") != "1":
+            sys.exit(
+                f"train step at {floor_ratio:.2f}x its HBM floor "
+                f"(gate: 1.25; SINGLEHDR_SKIP_FLOOR_GATE=1 to override)"
+            )
     if emit:
         _emit(
             "joint deq+lin+hal training images/sec/chip (batch 16 @ 256^2, full losses)",
             img_s,
             CPU_BASELINE_TRAIN_IMG_S,
-            {"mfu_pct": round(mfu * 100, 1) if mfu else None},
+            {
+                "mfu_pct": round(mfu * 100, 1) if mfu else None,
+                "floor_ratio": round(floor_ratio, 3) if floor_ratio else None,
+            },
         )
     return img_s, mfu
 
@@ -313,6 +367,9 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--train", action="store_true",
                    help="measure ONLY the joint train step and emit its metric")
+    p.add_argument("--remat", action="store_true",
+                   help="with --train: rematerialized (recompute-in-backward) "
+                        "net forwards — the byte-cut experiment knob")
     p.add_argument("--forward-only", action="store_true",
                    help="measure ONLY the forward clause (single attempt, no "
                         "batch ladder) and emit its metric")
@@ -323,7 +380,7 @@ if __name__ == "__main__":
     if a.batch:
         BATCH = a.batch
     if a.train:
-        bench_train()
+        bench_train(remat=a.remat)
     elif a.forward_only:
         bench_forward()
     else:

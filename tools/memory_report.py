@@ -27,6 +27,10 @@ def main():
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--fused", default=None, choices=[None, "0", "1"],
                    help="force SINGLEHDR_FUSED_ENC; default = both settings")
+    p.add_argument("--fused-unet", dest="fused_unet", default=None,
+                   choices=[None, "0", "1"],
+                   help="force SINGLEHDR_FUSED_UNET (deq/ref fused encoder); "
+                   "default leaves the model gate in charge")
     p.add_argument("--dtype", default="bfloat16")
     args = p.parse_args()
 
@@ -54,6 +58,8 @@ def main():
     fused_settings = [args.fused] if args.fused else ["1", "0"]
     for fused in fused_settings:
         os.environ["SINGLEHDR_FUSED_ENC"] = fused
+        if args.fused_unet is not None:
+            os.environ["SINGLEHDR_FUSED_UNET"] = args.fused_unet
         mod = cls(dtype=dt)
         v = jax.eval_shape(
             mod.init, jax.random.PRNGKey(0),

@@ -125,6 +125,12 @@ def main():
     p.add_argument("--nets", default="deq,lin,hal,ref,pipe")
     p.add_argument("--iters", type=int, default=6)
     p.add_argument(
+        "--variants", default="both", choices=["both", "fast", "dense"],
+        help="which conv-path variants to time for deq/ref/pipe; at b>16 @ "
+        "512^2 the packed path auto-disables (max_pack_pixels), so 'dense' "
+        "avoids compiling the same program twice at the headline batch",
+    )
+    p.add_argument(
         "--check", action="store_true",
         help="assert packed-vs-dense forward AND gradient parity on-device "
         "(run with a small --batch; uses f32 for tight tolerances)",
@@ -150,8 +156,12 @@ def main():
     key = jax.random.PRNGKey(0)
     wanted = set(args.nets.split(","))
 
+    variants = {"both": (True, False), "fast": (True,), "dense": (False,)}[
+        args.variants
+    ]
+
     def bench(name, module_fn, sample):
-        for fast in (True, False):
+        for fast in variants:
             mod = module_fn(fast)
             variables = jax.jit(mod.init)(key, sample[:1])
             ms, tf_, gb, compile_s = measure(
@@ -185,7 +195,7 @@ def main():
             flush=True,
         )
     if "pipe" in wanted:
-        for fast in (True, False):
+        for fast in variants:
             mod = ReverseCameraPipeline(dtype=dt, fast_convs=fast)
             variables = jax.jit(mod.init)(key, x3[:1])
             ms, tf_, gb, compile_s = measure(
