@@ -31,6 +31,22 @@ def _sync(x):
     return np.asarray(jax.device_get(leaf[idx] if idx else leaf))
 
 
+# v5e HBM bandwidth (see bench.py's roofline floors)
+HBM_GBPS = 819.0
+
+
+def _floor(ms: float, gb: float) -> str:
+    """HBM-roofline annotation: floor ms at v5e bandwidth and measured/floor.
+
+    Ratios near 1.0 mean the stage is already pinned to its memory traffic —
+    the lever there is cutting bytes (layout/fusion), not scheduling; large
+    ratios mark stages with recoverable time (VERDICT r3 item 5)."""
+    if not gb:
+        return ""
+    floor_ms = gb / HBM_GBPS * 1000.0
+    return f", HBM floor {floor_ms:.0f} ms ratio {ms / floor_ms:.2f}"
+
+
 def measure(fn, *args, iters=6, warmup=2):
     """Compile once; return (ms, flops_TF, bytes_GB, compile_s).
 
@@ -172,7 +188,7 @@ def main():
                 f"{name:5s} fast={str(fast):5s} {ms:8.1f} ms/batch"
                 f"  (compile {compile_s:.0f}s, {tf_:.2f} TF @ "
                 f"{tf_ / ms * 1000:.0f} TF/s, {gb:.1f} GB @ "
-                f"{gb / ms * 1000:.0f} GB/s)",
+                f"{gb / ms * 1000:.0f} GB/s{_floor(ms, gb)})",
                 flush=True,
             )
 
@@ -191,7 +207,7 @@ def main():
         print(
             f"{nm:5s}             {ms:8.1f} ms/batch  (compile {compile_s:.0f}s, "
             f"{tf_:.2f} TF @ {tf_ / ms * 1000:.0f} TF/s, {gb:.1f} GB @ "
-            f"{gb / ms * 1000:.0f} GB/s)",
+            f"{gb / ms * 1000:.0f} GB/s{_floor(ms, gb)})",
             flush=True,
         )
     if "pipe" in wanted:
@@ -206,7 +222,7 @@ def main():
                 f"pipe  fast={str(fast):5s} {ms:8.1f} ms/batch"
                 f"  ({b / ms * 1000:.1f} img/s; compile {compile_s:.0f}s, "
                 f"{tf_:.2f} TF @ {tf_ / ms * 1000:.0f} TF/s, {gb:.1f} GB @ "
-                f"{gb / ms * 1000:.0f} GB/s)",
+                f"{gb / ms * 1000:.0f} GB/s{_floor(ms, gb)})",
                 flush=True,
             )
 
