@@ -38,7 +38,17 @@ def apply_rf(x: jnp.ndarray, rf: jnp.ndarray, impl: str = "auto") -> jnp.ndarray
     Returns: same shape as x.
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # SINGLEHDR_APPLY_RF overrides the backend probe: default_backend()
+        # reports the PROCESS default (the hosted "axon" TPU plugin registers
+        # itself regardless of JAX_PLATFORMS), which is wrong when the
+        # computation is jitted over a CPU device mesh in the same process —
+        # e.g. __graft_entry__.dryrun_multichip after the TPU backend has
+        # already initialized.  Mosaic kernels cannot lower for CPU devices.
+        import os
+
+        impl = os.environ.get("SINGLEHDR_APPLY_RF") or (
+            "pallas" if jax.default_backend() == "tpu" else "xla"
+        )
     if impl == "pallas":
         from singlehdr_tpu.ops.pallas.apply_rf_pallas import apply_rf_pallas
 

@@ -58,6 +58,21 @@ def test_apply_rf_exact_knots():
     np.testing.assert_allclose(got[0], np.asarray(rf)[0], atol=1e-6)
 
 
+def test_apply_rf_env_override_pins_impl(monkeypatch):
+    """SINGLEHDR_APPLY_RF=xla must win over the backend probe: the hosted TPU
+    plugin registers itself regardless of JAX_PLATFORMS, so default_backend()
+    can report 'tpu' while the computation targets a CPU mesh (the driver's
+    dryrun_multichip scenario) — where the Mosaic kernel cannot lower."""
+    from singlehdr_tpu.ops import curves
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("SINGLEHDR_APPLY_RF", "xla")
+    x = jnp.asarray([[0.0, 0.25, 0.5, 1.0]], jnp.float32)
+    rf = jnp.asarray(np.linspace(0.0, 1.0, 1024, dtype=np.float32))[None]
+    got = np.asarray(curves.apply_rf(x, rf))  # would raise if pallas lowered
+    np.testing.assert_allclose(got, np.asarray(x), atol=1e-5)
+
+
 def test_apply_rf_gradient_flows():
     rf = jnp.asarray(np.linspace(0, 1, 64, dtype=np.float32) ** 2)[None]
     f = lambda x: jnp.sum(ops.apply_rf(x, rf))
