@@ -41,11 +41,21 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--extra_scenes", type=int, default=0,
+                   help="generate this many ADDITIONAL HDR-Real-style train "
+                   "scenes (fresh seed) and rebuild the train records from "
+                   "old+new before finetuning — the r4 anchor measured the "
+                   "finetune data (8 scenes/60 patches), not joint steps, as "
+                   "the binding constraint (QUALITY r2 21.903 -> r4 21.904 "
+                   "mu-PSNR after 2x joint).  Test records are untouched, so "
+                   "evaluations stay comparable")
     p.add_argument("--out", default=os.path.join(REPO, "QUALITY_r03.json"))
     p.add_argument("--note", default="")
     args = p.parse_args()
 
-    from quality_anchor import parse_result_line, run_stage
+    import numpy as np
+
+    from quality_anchor import parse_result_line, run_stage, synth_scene, write_real_pair
 
     W = args.workdir
     ck = lambda n: os.path.join(W, "ck_" + n)
@@ -54,6 +64,41 @@ def main():
     for path in (synth, records, ck("jnt")):
         if not os.path.isdir(path):
             raise SystemExit(f"missing {path}: run tools/quality_anchor.py first")
+
+    if args.extra_scenes:
+        from singlehdr_tpu.calib.crf import get_crf_bank
+
+        # old train pairs (hardlinks) + fresh scenes under a disjoint seed
+        src = os.path.join(W, "real_train")
+        ext = os.path.join(W, "real_train_ext")
+        for d in ("HDR_gt", "LDR_in"):
+            os.makedirs(os.path.join(ext, d), exist_ok=True)
+            for f in sorted(os.listdir(os.path.join(src, d))):
+                dst = os.path.join(ext, d, f)
+                if not os.path.exists(dst):
+                    os.link(os.path.join(src, d, f), dst)
+        rng = np.random.RandomState(430)
+        test_curves = np.asarray(get_crf_bank().test_crf)
+        for i in range(args.extra_scenes):
+            write_real_pair(
+                rng, test_curves, synth_scene(rng, 512, 768),
+                os.path.join(ext, "HDR_gt", f"x{i:03d}.hdr"),
+                os.path.join(ext, "LDR_in", f"x{i:03d}.jpg"),
+            )
+        records_ext = os.path.join(W, "records_ext")
+        os.makedirs(records_ext, exist_ok=True)
+        run_stage("convert_records", [
+            "--dir", ext, "--out", records_ext, "--prefix", "train",
+            "--patch_size", "256", "--patch_stride", "128",
+        ])
+        for f in os.listdir(records):  # share the UNCHANGED test shards
+            if f.startswith("test_") and not os.path.exists(
+                os.path.join(records_ext, f)
+            ):
+                os.link(os.path.join(records, f), os.path.join(records_ext, f))
+        records = records_ext
+        print(f"[extra] +{args.extra_scenes} train scenes -> {records_ext}",
+              flush=True)
 
     t0 = time.time()
     run_stage("joint_train", [
@@ -90,7 +135,8 @@ def main():
         "ssim_mu": results.get("ssim_mu"),
         "psnr_linear": results.get("psnr_linear_db"),
         "steps": {"joint": args.joint_iters,
-                  "finetune_epochs": args.finetune_epochs},
+                  "finetune_epochs": args.finetune_epochs,
+                  "extra_finetune_scenes": args.extra_scenes},
         "note": args.note or (
             "continuation of the committed anchor run via tools/extend_anchor.py"
         ),

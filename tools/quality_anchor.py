@@ -70,6 +70,27 @@ def synth_scene(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
     return img.astype(np.float32)
 
 
+def write_real_pair(rng, test_curves, hdr, hdr_path: str, jpg_path: str):
+    """Render one HDR-Real-style pair: an LDR exposure of ``hdr`` through a
+    held-out CRF + JPEG, like the reference's HDR-Real capture chain."""
+    import cv2
+
+    from singlehdr_tpu.data.hdr_io import write_hdr
+
+    t = 0.5 / max(hdr.mean(), 1e-6)
+    crf = test_curves[rng.randint(len(test_curves))]
+    ldr_lin = np.clip(hdr * t * rng.uniform(0.7, 1.4), 0, 1)
+    idx = np.clip((ldr_lin * (len(crf) - 1)), 0, len(crf) - 1)
+    lo = np.floor(idx).astype(np.int32)
+    hi = np.minimum(lo + 1, len(crf) - 1)
+    ldr = crf[lo] * (1 - (idx - lo)) + crf[hi] * (idx - lo)
+    u8 = np.clip(ldr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    write_hdr(hdr_path, hdr)
+    cv2.imwrite(
+        jpg_path, u8[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, int(rng.uniform(85, 100))]
+    )
+
+
 def make_dataset(workdir: str, n_train: int, n_test: int):
     from singlehdr_tpu.data.hdr_io import write_hdr
 
@@ -81,29 +102,15 @@ def make_dataset(workdir: str, n_train: int, n_test: int):
     real = os.path.join(workdir, "real")
     os.makedirs(os.path.join(real, "HDR_gt"), exist_ok=True)
     os.makedirs(os.path.join(real, "LDR_in"), exist_ok=True)
-    import cv2
-
     from singlehdr_tpu.calib.crf import get_crf_bank
 
     bank = get_crf_bank()
     test_curves = np.asarray(bank.test_crf)  # held-out curves, as HDR-Real would be
     for i in range(n_test):
-        hdr = synth_scene(rng, 512, 768)
-        # render an LDR exposure through a held-out CRF + JPEG, like the
-        # reference's HDR-Real capture chain
-        t = 0.5 / max(hdr.mean(), 1e-6)
-        crf = test_curves[rng.randint(len(test_curves))]
-        ldr_lin = np.clip(hdr * t * rng.uniform(0.7, 1.4), 0, 1)
-        idx = np.clip((ldr_lin * (len(crf) - 1)), 0, len(crf) - 1)
-        lo = np.floor(idx).astype(np.int32)
-        hi = np.minimum(lo + 1, len(crf) - 1)
-        ldr = crf[lo] * (1 - (idx - lo)) + crf[hi] * (idx - lo)
-        u8 = np.clip(ldr * 255.0 + 0.5, 0, 255).astype(np.uint8)
-        write_hdr(os.path.join(real, "HDR_gt", f"{i}.hdr"), hdr)
-        cv2.imwrite(
+        write_real_pair(
+            rng, test_curves, synth_scene(rng, 512, 768),
+            os.path.join(real, "HDR_gt", f"{i}.hdr"),
             os.path.join(real, "LDR_in", f"{i}.jpg"),
-            u8[:, :, ::-1],
-            [cv2.IMWRITE_JPEG_QUALITY, int(rng.uniform(85, 100))],
         )
     return synth, real
 
