@@ -25,8 +25,11 @@ def main():
     p.add_argument("--net", default="pipe", choices=["pipe", "deq", "lin", "hal", "ref"])
     p.add_argument("--batches", default="64,96,128")
     p.add_argument("--size", type=int, default=512)
-    p.add_argument("--fused", default=None, choices=[None, "0", "1"],
-                   help="force SINGLEHDR_FUSED_ENC; default = both settings")
+    p.add_argument("--fused", default=None, choices=[None, "0", "1", "auto"],
+                   help="force SINGLEHDR_FUSED_ENC; 'auto' leaves the model's "
+                   "arena-budget gate in charge (env unset) — use this when "
+                   "isolating --fused-unet deltas; default = both forced "
+                   "settings")
     p.add_argument("--fused-unet", dest="fused_unet", default=None,
                    choices=[None, "0", "1"],
                    help="force SINGLEHDR_FUSED_UNET (deq/ref fused encoder); "
@@ -57,7 +60,10 @@ def main():
     sd = jax.ShapeDtypeStruct
     fused_settings = [args.fused] if args.fused else ["1", "0"]
     for fused in fused_settings:
-        os.environ["SINGLEHDR_FUSED_ENC"] = fused
+        if fused == "auto":
+            os.environ.pop("SINGLEHDR_FUSED_ENC", None)
+        else:
+            os.environ["SINGLEHDR_FUSED_ENC"] = fused
         if args.fused_unet is not None:
             os.environ["SINGLEHDR_FUSED_UNET"] = args.fused_unet
         mod = cls(dtype=dt)
