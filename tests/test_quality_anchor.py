@@ -15,12 +15,14 @@ import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Floors ~2 dB / 0.04 below the measured r2 anchor (21.9 dB mu-PSNR / 0.906
-# mu-SSIM after the extended run; untrained pipeline measures 12.5 dB /
-# 0.837) so ordinary run-to-run noise passes but a semantic regression
-# (loss mis-wiring, broken restore, channel swaps) fails.
-MIN_PSNR_MU = 19.5
-MIN_SSIM_MU = 0.87
+# Floors ~1 dB / 0.015 below the measured r4 anchor (24.46 dB mu-PSNR /
+# 0.944 mu-SSIM after the extended run — QUALITY_r04.json; untrained
+# pipeline measures 12.5 dB / 0.837) so ordinary run-to-run noise passes
+# but a semantic regression (loss mis-wiring, broken restore, channel
+# swaps) fails.  Raised per VERDICT r3 #1 ("floors within ~1 dB of
+# measured").
+MIN_PSNR_MU = 23.4
+MIN_SSIM_MU = 0.93
 
 
 def _latest_artifact():
