@@ -27,8 +27,12 @@ Everything here stays **channels-major** so no tensor ever pads:
 
 F is small here (16-32 on the wide stages), so the conv matmuls underfill
 the MXU's 128-row output dim — but these stages are HBM-bound, not
-MXU-bound, and the traffic shrinks ~8x; measured numbers live in
-BENCH_NOTES.  Mosaic gotchas inherited from the hal kernel: lane rotate is
+MXU-bound, and the traffic shrinks ~8x.  Measured 2026-08-19 (BENCH_NOTES
+"Round-4: fused U-Net encoder A/B"): the full 4-net pipeline runs 125.5
+img/s with this kernel vs 61.5 dense at b128 @ 512^2 (2.04x) and 82.6 vs
+81.3 at b32 (wash), at zero arena cost at b128 (+1.4 GiB at b32, inside
+the budget gate) — kept, default-on, bounded per stage by
+models/unet._fused_unet_budget.  Mosaic gotchas inherited from the hal kernel: lane rotate is
 32-bit-only (bf16 rolls run on an i32 view), compare-produced i1 vectors
 can't relayout (edge masks are arithmetic), HBM slices must be
 lane-tile-aligned, lane-dim reshapes are relayouts so the kernel never

@@ -221,6 +221,7 @@ if __name__ == "__main__":
     p.add_argument("--iters", type=int, default=None)
     a = p.parse_args()
     if a.train:
-        measure_train(iters=a.iters or 2)
+        # no override -> the function's raised default (5, ADVICE r3)
+        measure_train(**({"iters": a.iters} if a.iters else {}))
     else:
-        measure_forward(iters=a.iters or 3)
+        measure_forward(**({"iters": a.iters} if a.iters else {}))
