@@ -367,9 +367,14 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--train", action="store_true",
                    help="measure ONLY the joint train step and emit its metric")
-    p.add_argument("--remat", action="store_true",
-                   help="with --train: rematerialized (recompute-in-backward) "
-                        "net forwards — the byte-cut experiment knob")
+    p.add_argument("--remat", nargs="?", const="full", default=None,
+                   choices=("full", "convs"),
+                   help="with --train: rematerialize net forwards in the "
+                        "backward.  'full' (the bare-flag default) recomputes "
+                        "everything — measured 23%% SLOWER at b16 @ 256^2, it "
+                        "exists to fit memory (BENCH_NOTES r4); 'convs' saves "
+                        "conv/matmul outputs and recomputes only the "
+                        "elementwise BN/activation chains between them")
     p.add_argument("--forward-only", action="store_true",
                    help="measure ONLY the forward clause (single attempt, no "
                         "batch ladder) and emit its metric")
@@ -380,7 +385,7 @@ if __name__ == "__main__":
     if a.batch:
         BATCH = a.batch
     if a.train:
-        bench_train(remat=a.remat)
+        bench_train(remat=True if a.remat == "full" else (a.remat or False))
     elif a.forward_only:
         bench_forward()
     else:

@@ -233,6 +233,10 @@ class ResidualUNet(nn.Module):
             fast_convs=fast, name="bottleneck",
         )(h, pre_pooled=(n_fused == len(self.down_features) + 1))
         up_widths = [self.stem_features, *self.down_features][::-1]  # e.g. [128,64,32,16]
+        # The decoder stays dense in the large-batch eval regime: packing the
+        # narrow UpStages was measured a LOSS at b128 @ 512^2 both wholesale
+        # (resize + packed convs: 101.5 vs 125.5 img/s) and conv2-only
+        # (115.2) — BENCH_NOTES round-4 "packed-lane decoder".
         for i, (f, skip) in enumerate(zip(up_widths, reversed(skips))):
             h = UpStage(
                 f, dtype=self.dtype, fast_convs=fast,

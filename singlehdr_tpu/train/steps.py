@@ -79,9 +79,20 @@ class StepOutput(NamedTuple):
 def _apply(module, state: NetState, x, *, name=None, train=True, remat=False):
     """Run a module in train mode collecting new batch stats.
 
-    With ``remat`` the forward is rematerialized in the backward pass
+    With ``remat=True`` the forward is rematerialized in the backward pass
     (jax.checkpoint) — activations are recomputed instead of stored, trading
     ~1.3x FLOPs for the memory to fit larger batches/resolutions in HBM.
+    Measured at the reference config (b16 @ 256^2) this is a 23% throughput
+    LOSS (BENCH_NOTES round-4): the recompute itself re-reads/re-writes more
+    bytes than the stored activations it avoids — it exists to fit memory,
+    not to go faster.
+
+    ``remat='convs'`` is the surgical variant: conv/matmul outputs are SAVED
+    (they carry the FLOPs and are re-read by the backward anyway) while the
+    cheap elementwise chains between them — BatchNorm normalize, leaky/ReLU,
+    residual adds — recompute from the saved conv outputs instead of storing
+    their own copies.  This targets the BN byte inflation named in the
+    roofline analysis without re-running any convolution.
     """
     params = state.params if name is None else state.params[name]
     stats = state.batch_stats if name is None else state.batch_stats.get(name, {})
@@ -94,7 +105,12 @@ def _apply(module, state: NetState, x, *, name=None, train=True, remat=False):
                 mutable=["batch_stats"],
             )
 
-        if remat:
+        if remat == "convs":
+            def _save_matmuls(prim, *_, **__):
+                return prim.name in ("conv_general_dilated", "dot_general")
+
+            fwd = jax.checkpoint(fwd, policy=_save_matmuls)
+        elif remat:
             fwd = jax.checkpoint(fwd)
         out, mutated = fwd(params, x)
         return out, mutated["batch_stats"]
