@@ -132,10 +132,11 @@ def bench_forward(emit=True):
     batch = BATCH
     # Fused-encoder policy: leave SINGLEHDR_FUSED_ENC unset so the model's
     # per-stage gate decides (hallucination.EncoderStage: chain-from-stem
-    # + arena budget) — enc1+enc2 fused through b80 @ 512^2, dense above
-    # (enc2-only fusion measured a 2% LOSS at b128: the NHWC->NCHW entry
-    # transpose isn't covered without the fused stem, ROADMAP #9 resolved).
-    # An explicit SINGLEHDR_FUSED_ENC overrides only the arena-budget check;
+    # + fit budget) — with the NHWC skip boundary (BENCH_NOTES r4) the hal
+    # chain is fused through b120 @ 512^2 and dense at b128, where the
+    # fused stem fails compile and the batch-lane-aligned dense run is the
+    # throughput headline anyway (1019.7 ms vs b120's 1058).
+    # An explicit SINGLEHDR_FUSED_ENC overrides only the fit-budget check;
     # chain-from-stem is structural (see hallucination._fused_enc_allowed).
     pipe = ReverseCameraPipeline(dtype=jnp.dtype(DTYPE))
     rng = np.random.RandomState(0)

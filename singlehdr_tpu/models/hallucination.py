@@ -47,13 +47,18 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
-# Measured fused-stage HBM budget (v5e, compiled.memory_analysis(), BENCH_NOTES
-# "Round-3 honest re-measurement"): the fused chain's NCHW skips pick up
-# second-layout copies at their decoder consumers, costing up to +6 GiB of XLA
-# temp arena at b96 @ 512^2.  A per-stage load cap of B*H*W*F <= ~1.4e9
-# reproduces every measured fit: enc1 fused through b80 @ 512^2 (b64: 1.07e9
-# fits+wins; b96: 1.61e9 OOMs), enc2 fused through b128 (1.07e9, arena-free).
-_FUSED_ARENA_BUDGET = 1_400_000_000
+# Measured fused-stage HBM budget (v5e, compiled.memory_analysis() +
+# compile-fit probes, BENCH_NOTES r4 "NHWC skip boundary").  With the
+# encoder/decoder boundary transpose below, the fused chain's arena is
+# IDENTICAL to dense (b96 @ 512^2: 12.11 GiB both; the old channels-major
+# skip consumption cost +6.0 GiB — its decoder consumers forced a second
+# layout of every skip).  What remains is plain HBM fit of the whole
+# pipeline: b120 @ 512^2 compiles (12.97 GiB temp) and wins (+3.1%), b128
+# (load 2.147e9) fails compile with the fused stem regardless of boundary
+# — and b128 dense is the throughput headline anyway (batch-lane-aligned:
+# 1019.7 ms/batch vs b120's 1058).  The cap below admits every measured
+# fit and excludes b128.
+_FUSED_ARENA_BUDGET = 2_050_000_000
 
 
 def _fused_enc_allowed(load: int) -> bool:
@@ -81,7 +86,8 @@ class EncoderStage(nn.Module):
     (ops.pallas.enc_pool_pallas) keeps everything channels-major because the
     dense XLA form pads C=64 NHWC tensors 2x in the lane dim and
     materializes the conv1 activation (BENCH_NOTES r3).  Fused stages chain
-    without transposes; the skip is consumed channels-major by SkipFusion.
+    without transposes; the NCHW skips are converted to NHWC once at the
+    encoder/decoder boundary (see HallucinationNet.__call__).
     Training (and any unsupported shape/backend) uses the dense convs;
     parameters are identical between the paths."""
 
@@ -222,12 +228,10 @@ class _SplitConv1x1(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
-    y_nchw: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-        cx = x.shape[-1]
-        cy = y.shape[1] if self.y_nchw else y.shape[-1]
+        cx, cy = x.shape[-1], y.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.glorot_uniform(),
             (1, 1, cx + cy, self.features), jnp.float32,
@@ -237,42 +241,31 @@ class _SplitConv1x1(nn.Module):
         )
         k = kernel[0, 0].astype(self.dtype)
         out = jnp.einsum("bhwc,co->bhwo", x.astype(self.dtype), k[:cx])
-        if self.y_nchw:
-            # channels-major skip (fused encoder output) reads at full lane
-            # bandwidth; the contraction is the same 1x1 conv
-            out = out + jnp.einsum("bihw,io->bhwo", y.astype(self.dtype), k[cx:])
-        else:
-            out = out + jnp.einsum("bhwc,co->bhwo", y.astype(self.dtype), k[cx:])
+        out = out + jnp.einsum("bhwc,co->bhwo", y.astype(self.dtype), k[cx:])
         return out + bias.astype(out.dtype)
 
 
 class SkipFusion(nn.Module):
     """concat(x, skip/255) then 1x1 conv (hallucination_net.py:93-107).
 
-    ``nchw=True`` runs the narrow (few-channel) form on [b, c, h, w];
-    ``skip_nchw=True`` consumes a channels-major skip (fused encoder output)
-    with an NHWC ``x``."""
+    ``nchw=True`` runs the narrow (few-channel) form on [b, c, h, w]."""
 
     features: int
     dtype: Any = jnp.float32
     nchw: bool = False
-    skip_nchw: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
         skip = skip.astype(x.dtype) / 255.0
         caxis = 1 if self.nchw else -1
-        saxis = 1 if (self.nchw or self.skip_nchw) else -1
-        if (x.shape[caxis] + skip.shape[saxis]) * self.features <= 64:
-            assert not self.skip_nchw, "narrow mixed-layout fusion unsupported"
+        if (x.shape[caxis] + skip.shape[caxis]) * self.features <= 64:
             return _NarrowConv1x1(
                 self.features, dtype=self.dtype, nchw=self.nchw, name="conv"
             )(x, skip)
         assert not self.nchw, "wide NCHW skip fusion unsupported"
-        return _SplitConv1x1(
-            self.features, dtype=self.dtype, y_nchw=self.skip_nchw,
-            name="conv",
-        )(x, skip)
+        return _SplitConv1x1(self.features, dtype=self.dtype, name="conv")(
+            x, skip
+        )
 
 
 _ENC = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
@@ -305,6 +298,25 @@ class HallucinationNet(nn.Module):
             skips.append((s, nchw))
         if nchw:
             x = jnp.transpose(x, (0, 2, 3, 1))
+        if any(s_nchw for _, s_nchw in skips):
+            # NHWC skip boundary: hand every fused (NCHW) skip to the decoder
+            # as an explicit NHWC copy.  The optimization_barrier forces the
+            # copy to materialize HERE — XLA otherwise folds the transpose
+            # into the decoder-side consumer, keeping the NCHW original live
+            # across the whole decoder and adding a second-layout twin per
+            # skip (+6.0 GiB arena at b96 @ 512^2, BENCH_NOTES r3/r4).  With
+            # the boundary the arena is dense-identical and the fused chain
+            # is throughput-neutral at b64 and a 3-4% win at b96-b120
+            # (BENCH_NOTES r4 "NHWC skip boundary").  Only fused skips are
+            # barriered; dense NHWC skips keep their producer fusions.
+            fused = [s for s, s_nchw in skips if s_nchw]
+            fused = jax.lax.optimization_barrier(
+                tuple(jnp.transpose(s, (0, 2, 3, 1)) for s in fused)
+            )
+            it = iter(fused)
+            skips = [
+                (next(it) if s_nchw else s, False) for s, s_nchw in skips
+            ]
 
         x = conv(512, 3, dtype=self.dtype, name="latent_conv")(x)
         x = nn.relu(batch_norm(train, name="latent_bn", dtype=self.dtype)(x))
@@ -319,12 +331,10 @@ class HallucinationNet(nn.Module):
         # fusion saving amortizes.  Measurements in BENCH_NOTES.md; the
         # dense path below (fused upsample-conv + _SplitConv1x1 + NCHW
         # tail) is the winner.
-        for i, (skip, s_nchw) in zip(range(len(_ENC), 0, -1), reversed(skips)):
+        for i, (skip, _) in zip(range(len(_ENC), 0, -1), reversed(skips)):
             f = _ENC[i - 1][0]
             x = DecoderStage(f, dtype=self.dtype, name=f"dec{i}")(x, train)
-            x = SkipFusion(
-                f, dtype=self.dtype, skip_nchw=s_nchw, name=f"skip{i}",
-            )(x, skip)
+            x = SkipFusion(f, dtype=self.dtype, name=f"skip{i}")(x, skip)
 
         # 3-channel tail in NCHW: NHWC would carry every [.,3] tensor padded
         # to 128 lanes through head_conv/BN/skip0 (~4 GB each at b64 @ 512^2)

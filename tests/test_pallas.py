@@ -126,10 +126,15 @@ def test_enc_pool_shape_gate(monkeypatch):
     monkeypatch.setenv("SINGLEHDR_FUSED_ENC", "1")
     assert _fused_enc_allowed(10**18)  # explicit on overrides the budget
     monkeypatch.delenv("SINGLEHDR_FUSED_ENC", raising=False)
-    # measured arena budget (BENCH_NOTES r3): enc1 fits at b64 @ 512^2,
-    # OOMs at b96; enc2 stays allowed through b128
+    # measured fit budget (BENCH_NOTES r4 "NHWC skip boundary"): with the
+    # boundary transpose the fused chain's arena is dense-identical, so the
+    # gate now encodes whole-pipeline HBM fit — enc1 fused through b120 @
+    # 512^2 (compiles, 12.97 GiB temp, +3.1%), dense at b128 (compile OOM
+    # fused; dense is also the faster batch outright)
     assert _fused_enc_allowed(64 * 512 * 512 * 64)
-    assert not _fused_enc_allowed(96 * 512 * 512 * 64)
+    assert _fused_enc_allowed(96 * 512 * 512 * 64)
+    assert _fused_enc_allowed(120 * 512 * 512 * 64)
+    assert not _fused_enc_allowed(128 * 512 * 512 * 64)
     assert _fused_enc_allowed(128 * 256 * 256 * 128)
 
 

@@ -181,3 +181,35 @@ def test_unet_fused_matches_dense_on_device(rng):
         np.asarray(fused, np.float32), np.asarray(dense, np.float32),
         atol=5e-2, rtol=5e-2,  # bf16 accumulation-order noise through 5 scales
     )
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel needs TPU")
+def test_hal_fused_chain_matches_dense_on_device(rng):
+    """Full HallucinationNet, fused enc chain + NHWC skip boundary vs dense.
+
+    Pins the encoder/decoder boundary introduced in round 4: fused NCHW
+    skips are transposed to NHWC behind an optimization_barrier at the
+    latent, so the decoder never holds a second-layout twin of a skip
+    (the +6 GiB arena that blocked the fused chain above b80, BENCH_NOTES
+    r3/r4).  Tolerance matches the per-kernel device oracle: f32 matmuls
+    under DEFAULT precision take different bf16-pass decompositions in
+    Mosaic vs XLA's conv expansion."""
+    import os
+
+    from singlehdr_tpu.models import HallucinationNet
+
+    x = jnp.asarray(rng.rand(2, 64, 128, 3).astype(np.float32))
+    net = HallucinationNet(dtype=jnp.float32)
+    v = net.init(jax.random.PRNGKey(0), x[:1])
+    os.environ["SINGLEHDR_FUSED_ENC"] = "1"
+    try:
+        fused = jax.jit(lambda v, x: net.apply(v, x))(v, x)
+    finally:
+        os.environ["SINGLEHDR_FUSED_ENC"] = "0"
+    try:
+        dense = jax.jit(lambda v, x: net.apply(v, x))(v, x)
+    finally:
+        del os.environ["SINGLEHDR_FUSED_ENC"]
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(dense), atol=1e-2, rtol=1e-2,
+    )

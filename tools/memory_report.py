@@ -25,7 +25,8 @@ def main():
     p.add_argument("--net", default="pipe", choices=["pipe", "deq", "lin", "hal", "ref"])
     p.add_argument("--batches", default="64,96,128")
     p.add_argument("--size", type=int, default=512)
-    p.add_argument("--fused", default=None, choices=[None, "0", "1", "auto"],
+    p.add_argument("--fused", default=None,
+                   choices=[None, "0", "1", "auto"],
                    help="force SINGLEHDR_FUSED_ENC; 'auto' leaves the model's "
                    "arena-budget gate in charge (env unset) — use this when "
                    "isolating --fused-unet deltas; default = both forced "
