@@ -15,6 +15,23 @@ import numpy as np
 from singlehdr_tpu.data.records import RecordDataset
 
 
+def open_record_dataset(record_dir: str, prefix: str = "train"):
+    """Open finetune records: the framework's ``.shdrec`` shards, or —
+    when the directory holds the reference's own ``*.tfrecords`` GZIP
+    shards (convert_to_tf_record.py output) — the dependency-free
+    TFRecord/Example reader, so reference-format data feeds directly."""
+    import glob as _glob
+    import os as _os
+
+    if _glob.glob(_os.path.join(record_dir, f"{prefix}_*.shdrec")):
+        return RecordDataset(record_dir, prefix)
+    if _glob.glob(_os.path.join(record_dir, "*.tfrecords")):
+        from singlehdr_tpu.data.tfrecord import TfrecordExampleDataset
+
+        return TfrecordExampleDataset(record_dir)
+    return RecordDataset(record_dir, prefix)  # raises with the shdrec message
+
+
 def augment_pair(
     hdr: np.ndarray, ldr: np.ndarray, rng: np.random.RandomState
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -38,7 +55,7 @@ class HdrRealPipeline:
         seed: int = 0,
         prefix: str = "train",
     ):
-        self._ds = RecordDataset(record_dir, prefix)
+        self._ds = open_record_dataset(record_dir, prefix)
         self._batch = batch_size
         self._training = training
         self._rng = np.random.RandomState(seed)

@@ -92,6 +92,7 @@ class PatchHDRDataset:
         self._patch = patch_size
         self._rng = np.random.RandomState(seed)
         self._file_cache: dict[int, np.ndarray] = {}
+        self._crop_cache: dict[int, np.ndarray] = {}
 
     def _load_resized(self, path: str) -> np.ndarray:
         hdr = read_hdr(path)
@@ -109,7 +110,10 @@ class PatchHDRDataset:
     def __len__(self) -> int:
         return 2 * len(self._paths)
 
-    def __getitem__(self, idx: int) -> np.ndarray:
+    def _half_crop(self, idx: int) -> np.ndarray:
+        """Mean-normalized 512^2 half-crop for sample `idx` (cached)."""
+        if self._cache and idx in self._crop_cache:
+            return self._crop_cache[idx]
         hdr = self._file(idx // 2)
         h, w, _ = hdr.shape
         first = idx % 2 == 0
@@ -117,19 +121,40 @@ class PatchHDRDataset:
             hdr = hdr[:PATCH_FULL] if first else hdr[-PATCH_FULL:]
         else:
             hdr = hdr[:, :PATCH_FULL] if first else hdr[:, -PATCH_FULL:]
-        hdr = normalize_hdr_mean(hdr)
+        hdr = np.ascontiguousarray(normalize_hdr_mean(hdr), np.float32)
+        if self._cache:
+            self._crop_cache[idx] = hdr
+            if idx ^ 1 in self._crop_cache:  # both halves cached: the full
+                self._file_cache.pop(idx // 2, None)  # resized image is dead
+        return hdr
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        hdr = self._half_crop(idx)
         if self._training:
             hdr = self._augment(hdr)
         return np.ascontiguousarray(hdr, np.float32)
 
     def _augment(self, hdr: np.ndarray) -> np.ndarray:
+        """Random scale 0.5-2.0 + 256^2 crop + rot90 + flips (dataset.py:223-248).
+
+        The scale+crop is realized as crop-before-resize: instead of resizing
+        the full 512^2 patch to (512*scale)^2 and keeping a 256^2 window (the
+        reference's order, which at scale 2 writes 16x the pixels it keeps),
+        the equivalent source window of the virtual crop is cut first and a
+        single INTER_AREA resize produces the 256^2 output directly — the same
+        augmentation distribution at 4-16x less resize work.
+        """
         rng = self._rng
         scale = rng.uniform(0.5, 2.0)
         size = int(np.round(PATCH_FULL * scale))
-        hdr = _resize_area(hdr, size, size)
-        y = rng.randint(0, max(1, hdr.shape[0] - self._patch))
-        x = rng.randint(0, max(1, hdr.shape[1] - self._patch))
-        hdr = hdr[y : y + self._patch, x : x + self._patch]
+        # random self._patch^2 window of the virtually-resized size^2 image
+        y = rng.randint(0, max(1, size - self._patch))
+        x = rng.randint(0, max(1, size - self._patch))
+        h, w = hdr.shape[:2]
+        # map the window back to source coordinates and cut it (outer bounds)
+        sy0, sy1 = int(y * h / size), min(h, -(-((y + self._patch) * h) // size))
+        sx0, sx1 = int(x * w / size), min(w, -(-((x + self._patch) * w) // size))
+        hdr = _resize_area(hdr[sy0:sy1, sx0:sx1], self._patch, self._patch)
         hdr = np.rot90(hdr, rng.randint(4))
         if rng.rand() < 0.5:
             hdr = np.flip(hdr, 0)

@@ -40,22 +40,33 @@ def _fused_unet_enabled() -> bool:
     return os.environ.get("SINGLEHDR_FUSED_UNET", "1") == "1"
 
 
+# U-Net's own fused-stage budget (decoupled from hallucination's constant,
+# whose semantics moved to whole-pipeline HBM fit with the in-kernel NHWC
+# skip emission).  1.4e9 is the value the round-4 U-Net A/B was measured
+# under (BENCH_NOTES r4 "fused U-Net encoder A/B"): the full 3-stage prefix
+# engages at every batch tried — per-stage loads b*h*w*f <= 5.4e8 at
+# b128 @ 512^2 — with an XLA temp arena IDENTICAL to dense at b128
+# (delta 0.00 GiB) and +1.4 GiB at b32, both measured via
+# tools/memory_report.py.  That arena measurement is also why the U-Net's
+# boundary transposes (see __call__) carry no optimization_barrier: the
+# second-layout-twin hazard the hal encoder hit does not manifest at the
+# U-Net's narrow skip widths (16-64 ch), where the NHWC copies are small
+# relative to the conv tensors XLA already materializes.
+_FUSED_UNET_BUDGET = 1_400_000_000
+
+
 def _fused_unet_budget():
     """Per-stage arena budget for the fused U-Net encoder, or None.
 
     Mirrors hallucination._fused_enc_allowed: SINGLEHDR_FUSED_UNET=1 set
     EXPLICITLY bypasses the budget (experiments — the caller owns the HBM
-    risk); unset applies the budget measured on the hal encoder (the same
-    fused-chain hazard: NCHW skips picking up second-layout copies at their
-    decoder consumers, BENCH_NOTES "Round-3 honest re-measurement").  =0 is
-    handled by _fused_unet_enabled."""
+    risk); unset applies the measured budget above.  =0 is handled by
+    _fused_unet_enabled."""
     import os
-
-    from singlehdr_tpu.models.hallucination import _FUSED_ARENA_BUDGET
 
     if os.environ.get("SINGLEHDR_FUSED_UNET") == "1":
         return None
-    return _FUSED_ARENA_BUDGET
+    return _FUSED_UNET_BUDGET
 
 
 class _ConvParams(nn.Module):

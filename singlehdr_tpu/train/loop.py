@@ -81,6 +81,7 @@ class LoopConfig:
     seed: int = 0
     use_jpeg: bool = True           # False keeps degradation fully on-device
     prefetch: int = 2               # host batches prepared ahead of the step
+    prefetch_producers: int = 2     # concurrent next_batch producers
     profile_dir: str | None = None  # capture a jax.profiler trace when set
     profile_steps: tuple = (10, 15)  # [start, stop) step window of the trace
 
@@ -89,6 +90,13 @@ class SynthBatchPipeline:
     """HDR-Synth step inputs: loader -> device sim -> host JPEG -> mask.
 
     Yields dicts with ldr / jpeg / clipped_hdr_t / hdr_t / mask / invcrf.
+
+    All per-batch host arrays ride ONE device transfer: the development
+    tunnel (and any RPC-attached device) charges a large fixed latency per
+    transfer (~170 ms measured, BENCH_NOTES r5), so four separate uploads
+    (hdr/crf/invcrf/t) cost ~4x what one packed buffer does.  The HDR patch
+    travels as float16 (mean-normalized radiance; 2^-10 relative input
+    quantization) and is unpacked/cast to f32 on device.
     """
 
     def __init__(self, dataset, cfg: LoopConfig):
@@ -99,10 +107,49 @@ class SynthBatchPipeline:
         self._sim = jax.jit(simulate_capture)
         self._qualities = jpeg_quality_ladder(cfg.batch_size)
         self._key = jax.random.PRNGKey(cfg.seed)
+        self._key_lock = __import__("threading").Lock()
+        self._unpack = None
+
+    def _make_unpack(self, shapes):
+        """Jitted unpacker for the packed upload: byte-slices back into
+        (hdr f32, crf, invcrf, t) with static shapes."""
+        (bs, h, w, c), kshape = shapes[0], shapes[1]
+
+        def unpack(buf):
+            sizes = [bs * h * w * c * 2] + [
+                int(np.prod(s)) * 4 for s in shapes[1:]
+            ]
+            offs = np.concatenate([[0], np.cumsum(sizes)])
+            hdr = jax.lax.bitcast_convert_type(
+                buf[: offs[1]].reshape(bs * h * w * c, 2), jnp.float16
+            ).reshape(bs, h, w, c).astype(jnp.float32)
+            rest = []
+            for i, s in enumerate(shapes[1:], start=1):
+                flat = buf[offs[i]: offs[i + 1]].reshape(int(np.prod(s)), 4)
+                rest.append(
+                    jax.lax.bitcast_convert_type(flat, jnp.float32).reshape(s)
+                )
+            return (hdr, *rest)
+
+        return jax.jit(unpack)
 
     def next_batch(self) -> dict:
-        hdr, crf, invcrf, t = [jnp.asarray(x) for x in self._loader.read_batch()]
-        self._key, sub = jax.random.split(self._key)
+        hdr, crf, invcrf, t = self._loader.read_batch()
+        payload = np.concatenate(
+            [
+                np.ascontiguousarray(hdr, np.float16).view(np.uint8).ravel(),
+                np.ascontiguousarray(crf, np.float32).view(np.uint8).ravel(),
+                np.ascontiguousarray(invcrf, np.float32).view(np.uint8).ravel(),
+                np.ascontiguousarray(t, np.float32).view(np.uint8).ravel(),
+            ]
+        )
+        if self._unpack is None:
+            self._unpack = self._make_unpack(
+                (hdr.shape, crf.shape, invcrf.shape, np.shape(t))
+            )
+        hdr, crf, invcrf, t = self._unpack(jnp.asarray(payload))
+        with self._key_lock:
+            self._key, sub = jax.random.split(self._key)
         sim = self._sim(sub, hdr, crf, t)
         if self._cfg.use_jpeg:
             jpg_u8 = jpeg_roundtrip_batch(
@@ -132,14 +179,20 @@ class _PrefetchError:
 
 
 class _Prefetcher:
-    """Run a batch producer in a background thread, `depth` batches ahead.
+    """Run a batch producer in background threads, `depth` batches ahead.
 
     Overlaps the host half of the pipeline (loader dequeue + JPEG round-trip)
     with the device step; JAX dispatch is thread-safe so the producer can
-    enqueue the on-device simulate_capture as well.
+    enqueue the on-device simulate_capture as well.  ``producers > 1``
+    overlaps the *internal* latency of successive next_batch calls — on a
+    high-latency device attachment (the dev tunnel: ~170 ms per transfer,
+    BENCH_NOTES r5) one producer serializes upload -> readback -> upload per
+    batch, while two producers interleave them (batch *order* across
+    producers is not deterministic; the loader's sample stream is shared).
     """
 
-    def __init__(self, produce: Callable[[], dict], depth: int):
+    def __init__(self, produce: Callable[[], dict], depth: int,
+                 producers: int = 1):
         import queue
         import threading
 
@@ -161,8 +214,12 @@ class _Prefetcher:
                 if isinstance(batch, _PrefetchError):
                     return  # thread ends; the consumer re-raises
 
-        self._thread = threading.Thread(target=loop, daemon=True, name="prefetch")
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=loop, daemon=True, name=f"prefetch{i}")
+            for i in range(max(1, producers))
+        ]
+        for t in self._threads:
+            t.start()
 
     def next(self) -> dict:
         item = self._q.get()
@@ -171,7 +228,7 @@ class _Prefetcher:
         return item
 
     def alive(self) -> bool:
-        return self._thread.is_alive()
+        return any(t.is_alive() for t in self._threads)
 
     def close(self) -> None:
         self._stop.set()
@@ -208,7 +265,7 @@ def run_synth_training(
         state = replicate(mesh, state)
     start_step = int(state.step)
     pipeline = SynthBatchPipeline(dataset, cfg)
-    prefetcher = _Prefetcher(pipeline.next_batch, cfg.prefetch)
+    prefetcher = _Prefetcher(pipeline.next_batch, cfg.prefetch, cfg.prefetch_producers)
     tracker = Mean(f"loss_{module_name}")
     spec = StateSpec(state)
     watchdog = _StepWatchdog()
@@ -245,7 +302,7 @@ def run_synth_training(
                 time.sleep(min(30.0, 5.0 * recoveries))
                 if not prefetcher.alive():  # producer died on the same failure
                     prefetcher.close()
-                    prefetcher = _Prefetcher(pipeline.next_batch, cfg.prefetch)
+                    prefetcher = _Prefetcher(pipeline.next_batch, cfg.prefetch, cfg.prefetch_producers)
                 continue
             it += 1
             step = int(state.step)

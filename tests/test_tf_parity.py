@@ -320,3 +320,81 @@ def test_import_epoch_and_counter_dtypes(tmp_path):
     raw = tensorbundle.read_bundle(prefix)
     assert raw["epoch" + SUFFIX].dtype == np.int32
     assert raw["save_counter" + SUFFIX].dtype == np.int64
+
+
+def test_tfrecord_interop_with_real_tf(tmp_path):
+    """The dependency-free GZIP TFRecord codec against real TF, both ways:
+    TF-written reference-format shards parse identically through
+    data/tfrecord.py, and our writer's shards parse through
+    tf.data.TFRecordDataset + the reference's own _parse_function schema
+    (finetune_real_dataset.py:34-48, convert_to_tf_record.py:7,44-48)."""
+    from singlehdr_tpu.data.tfrecord import (
+        TfrecordExampleDataset,
+        iter_tfrecord,
+        parse_example,
+        write_reference_shards,
+    )
+
+    rng = np.random.RandomState(3)
+    hdrs = [rng.rand(16, 16, 3).astype(np.float32) * 4 for _ in range(3)]
+    ldrs = [(rng.rand(16, 16, 3) * 255).astype(np.float32) for _ in range(3)]
+
+    # --- TF writes, we read -------------------------------------------------
+    tf_dir = tmp_path / "tf_written"
+    tf_dir.mkdir()
+    opt = tf.io.TFRecordOptions(compression_type="GZIP")
+    path = str(tf_dir / "train_64_0000.tfrecords")
+    with tf.io.TFRecordWriter(path, opt) as w:
+        for hdr, ldr in zip(hdrs, ldrs):
+            ex = tf.train.Example(
+                features=tf.train.Features(
+                    feature={
+                        "ref_HDR": tf.train.Feature(
+                            bytes_list=tf.train.BytesList(
+                                value=[hdr.tobytes()]
+                            )
+                        ),
+                        "ref_LDR": tf.train.Feature(
+                            bytes_list=tf.train.BytesList(
+                                value=[ldr.tobytes()]
+                            )
+                        ),
+                    }
+                )
+            )
+            w.write(ex.SerializeToString())
+    payloads = list(iter_tfrecord(path, verify=True))  # incl. CRC check
+    assert len(payloads) == 3
+    for payload, hdr, ldr in zip(payloads, hdrs, ldrs):
+        feats = parse_example(payload)
+        np.testing.assert_array_equal(
+            np.frombuffer(feats["ref_HDR"], np.float32).reshape(16, 16, 3),
+            hdr,
+        )
+    ds = TfrecordExampleDataset(str(tf_dir))
+    got_hdr, got_ldr = ds[1]
+    np.testing.assert_array_equal(got_hdr, hdrs[1])
+    np.testing.assert_array_equal(got_ldr, ldrs[1].astype(np.uint8))
+
+    # --- we write, TF reads -------------------------------------------------
+    our_dir = tmp_path / "ours"
+    write_reference_shards(
+        str(our_dir),
+        list(zip(hdrs, [l.astype(np.uint8) for l in ldrs])),
+        records_per_shard=2,
+    )
+    files = sorted(str(p) for p in our_dir.glob("*.tfrecords"))
+    tfds = tf.data.TFRecordDataset(files, compression_type="GZIP")
+    schema = {
+        "ref_HDR": tf.io.FixedLenFeature([], tf.string),
+        "ref_LDR": tf.io.FixedLenFeature([], tf.string),
+    }
+    count = 0
+    for i, raw in enumerate(tfds):
+        ex = tf.io.parse_single_example(raw, schema)
+        hdr = tf.reshape(
+            tf.io.decode_raw(ex["ref_HDR"], tf.float32), (16, 16, 3)
+        )
+        np.testing.assert_array_equal(hdr.numpy(), hdrs[i])
+        count += 1
+    assert count == 3

@@ -184,32 +184,27 @@ def test_unet_fused_matches_dense_on_device(rng):
 
 
 @pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel needs TPU")
-def test_hal_fused_chain_matches_dense_on_device(rng):
-    """Full HallucinationNet, fused enc chain + NHWC skip boundary vs dense.
+def test_hal_fused_chain_matches_dense_on_device(rng, monkeypatch):
+    """Full HallucinationNet, fused enc chain w/ in-kernel NHWC skips vs dense.
 
-    Pins the encoder/decoder boundary introduced in round 4: fused NCHW
-    skips are transposed to NHWC behind an optimization_barrier at the
-    latent, so the decoder never holds a second-layout twin of a skip
-    (the +6 GiB arena that blocked the fused chain above b80, BENCH_NOTES
-    r3/r4).  Tolerance matches the per-kernel device oracle: f32 matmuls
-    under DEFAULT precision take different bf16-pass decompositions in
-    Mosaic vs XLA's conv expansion."""
-    import os
-
+    Pins the round-5 skip emission: fused stages transpose their skip on the
+    MXU before the HBM write, so the decoder consumes NHWC directly and no
+    NCHW twin or boundary copy ever exists (the +6 GiB arena that blocked
+    the fused chain at large batch, BENCH_NOTES r3-r5).  Tolerance matches
+    the per-kernel device oracle: f32 matmuls under DEFAULT precision take
+    different bf16-pass decompositions in Mosaic vs XLA's conv expansion.
+    monkeypatch (not direct os.environ writes) so a raise in either apply
+    can't leak the env var into later tests (ADVICE r4)."""
     from singlehdr_tpu.models import HallucinationNet
 
     x = jnp.asarray(rng.rand(2, 64, 128, 3).astype(np.float32))
     net = HallucinationNet(dtype=jnp.float32)
     v = net.init(jax.random.PRNGKey(0), x[:1])
-    os.environ["SINGLEHDR_FUSED_ENC"] = "1"
-    try:
-        fused = jax.jit(lambda v, x: net.apply(v, x))(v, x)
-    finally:
-        os.environ["SINGLEHDR_FUSED_ENC"] = "0"
-    try:
-        dense = jax.jit(lambda v, x: net.apply(v, x))(v, x)
-    finally:
-        del os.environ["SINGLEHDR_FUSED_ENC"]
+    monkeypatch.setenv("SINGLEHDR_FUSED_ENC", "1")
+    fused = jax.jit(lambda v, x: net.apply(v, x))(v, x)
+    monkeypatch.setenv("SINGLEHDR_FUSED_ENC", "0")
+    dense = jax.jit(lambda v, x: net.apply(v, x))(v, x)
+    monkeypatch.delenv("SINGLEHDR_FUSED_ENC")
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(dense), atol=1e-2, rtol=1e-2,
     )

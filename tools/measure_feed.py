@@ -69,11 +69,21 @@ def time_jpeg_roundtrip(batch, size, iters=8):
     return out
 
 
-def time_pipeline(synth_dir, batch, size, workers, n_batches, native):
-    """Full next_batch feed rate (img/s) with the codec on/off."""
+def time_pipeline(synth_dir, batch, size, workers, n_batches, native,
+                  producers=1):
+    """Full feed rate (img/s) with the codec on/off.
+
+    ``producers=1`` times raw sequential next_batch calls; ``producers>1``
+    times consumption through the training loop's _Prefetcher, which is what
+    the train step actually sees (the producers overlap the per-batch
+    transfer latency — BENCH_NOTES r5)."""
     from singlehdr_tpu.data import native_jpeg
     from singlehdr_tpu.data.synth import get_train_dataset
-    from singlehdr_tpu.train.loop import LoopConfig, SynthBatchPipeline
+    from singlehdr_tpu.train.loop import (
+        LoopConfig,
+        SynthBatchPipeline,
+        _Prefetcher,
+    )
 
     orig = native_jpeg.available
     if not native:
@@ -84,20 +94,28 @@ def time_pipeline(synth_dir, batch, size, workers, n_batches, native):
             dataset,
             LoopConfig(batch_size=batch, n_workers=workers, use_jpeg=True),
         )
+        prefetcher = None
         try:
             import jax
 
-            for _ in range(2):  # warm: compiles simulate_capture, fills queues
-                b = pipe.next_batch()
+            next_fn = pipe.next_batch
+            if producers > 1:
+                prefetcher = _Prefetcher(pipe.next_batch, depth=2,
+                                         producers=producers)
+                next_fn = prefetcher.next
+            for _ in range(2 * producers):  # warm: compiles sim, fills queues
+                b = next_fn()
             jax.block_until_ready(b["ldr"])
             t0 = time.perf_counter()
             for _ in range(n_batches):
-                b = pipe.next_batch()
+                b = next_fn()
                 # the consumer's view: mask is the last host-side product
                 np.asarray(b["mask"])
             dt = time.perf_counter() - t0
             return batch * n_batches / dt
         finally:
+            if prefetcher is not None:
+                prefetcher.close()
             pipe.close()
     finally:
         native_jpeg.available = orig
@@ -108,6 +126,7 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--producers", type=int, default=2)
     p.add_argument("--n_batches", type=int, default=12)
     p.add_argument("--scenes", type=int, default=12)
     p.add_argument("--workdir", default="/tmp/shdr_feed_bench")
@@ -150,7 +169,16 @@ def main():
         rec[key] = round(img_s, 2)
         print(f"feed rate ({'native' if native else 'cv2'}): {img_s:.1f} img/s",
               flush=True)
-    rec["feed_img_s"] = rec.get("feed_img_s_native", rec["feed_img_s_cv2"])
+    # what the train loop consumes: prefetcher with concurrent producers
+    img_s = time_pipeline(
+        synth, args.batch, args.size, args.workers, args.n_batches,
+        native_jpeg.available(), producers=args.producers,
+    )
+    rec["feed_img_s_prefetched"] = round(img_s, 2)
+    rec["producers"] = args.producers
+    print(f"feed rate (prefetched x{args.producers}): {img_s:.1f} img/s",
+          flush=True)
+    rec["feed_img_s"] = rec["feed_img_s_prefetched"]
 
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
