@@ -190,6 +190,24 @@ def bench_forward(emit=True):
     dt = time.time() - t0
     img_s = batch * ITERS / dt
     log(f"{img_s:.2f} img/s  ({dt / ITERS * 1000:.1f} ms/batch of {batch})")
+    # Regression tripwire (VERDICT r4 weak #5): the headline rests on the
+    # fused U-Net encoder engaging (2.04x end-to-end at b128: 125.5 vs 61.5
+    # img/s dense).  If the supported()/budget gate ever regresses the bench
+    # must FAIL loudly, not silently report ~62 img/s as the new normal.
+    from singlehdr_tpu.models.unet import ResidualUNet
+
+    probe = ResidualUNet()
+    if (
+        jax.default_backend() == "tpu"
+        and batch * SIZE * SIZE > probe.max_pack_pixels  # packed regime off
+    ):
+        n_fused = probe._fused_prefix((batch, SIZE, SIZE, 3))
+        assert n_fused >= 3, (
+            f"fused U-Net encoder prefix regressed: {n_fused} stages engage "
+            f"at b{batch} @ {SIZE}^2 (expected >= 3) — see models/unet.py "
+            "gate and BENCH_NOTES r4 'fused U-Net encoder A/B'"
+        )
+        log(f"fused U-Net prefix engaged: {n_fused} stages")
     if emit:
         _emit(
             "HDR-Real 512x512 images/sec/chip (full 4-net pipeline)",

@@ -39,6 +39,11 @@ except Exception:  # pragma: no cover
 
 
 class _Stats:
+    # Sliding window per bucket for percentile estimates: big enough that
+    # p99 over a load test is sample-backed, small enough to stay O(ms) to
+    # summarize on a /stats hit.
+    WINDOW = 4096
+
     def __init__(self):
         self.lock = threading.Lock()
         self.requests = 0
@@ -46,25 +51,49 @@ class _Stats:
         self.total_latency = 0.0
         self.device_batches = 0
         self.max_batch = 0
+        self.latencies: "dict[str, deque]" = {}
 
-    def record(self, latency: float, error: bool) -> None:
+    def record(self, latency: float, error: bool, bucket=None) -> None:
         with self.lock:
             self.requests += 1
             self.errors += int(error)
             self.total_latency += latency
+            if not error:
+                key = "x".join(map(str, bucket)) if bucket else "unbucketed"
+                self.latencies.setdefault(
+                    key, deque(maxlen=self.WINDOW)
+                ).append(latency)
 
     def record_batch(self, size: int) -> None:
         with self.lock:
             self.device_batches += 1
             self.max_batch = max(self.max_batch, size)
 
+    @staticmethod
+    def _percentiles(samples) -> dict:
+        arr = np.sort(np.asarray(samples, np.float64))
+        pick = lambda q: float(arr[min(len(arr) - 1, int(q * len(arr)))])
+        return {
+            "n": len(arr),
+            "p50_s": round(pick(0.50), 4),
+            "p90_s": round(pick(0.90), 4),
+            "p99_s": round(pick(0.99), 4),
+            "max_s": round(float(arr[-1]), 4),
+        }
+
     def snapshot(self) -> dict:
         with self.lock:
             mean = self.total_latency / self.requests if self.requests else 0.0
+            per_bucket = {
+                k: self._percentiles(v) for k, v in self.latencies.items() if v
+            }
+            all_lat = [x for v in self.latencies.values() for x in v]
             return {
                 "requests": self.requests,
                 "errors": self.errors,
                 "mean_latency_s": round(mean, 4),
+                "latency": self._percentiles(all_lat) if all_lat else {},
+                "latency_per_bucket": per_bucket,
                 "device_batches": self.device_batches,
                 "max_batch": self.max_batch,
             }
@@ -98,6 +127,9 @@ class MicroBatcher:
         self._seq = 0
         self._thread = threading.Thread(target=self._loop, daemon=True, name="batcher")
         self._thread.start()
+
+    def bucket_key(self, shape) -> tuple:
+        return self._predictor.bucket_key(shape)
 
     def predict(self, rgb01: np.ndarray) -> np.ndarray:
         fut: "Future[np.ndarray]" = Future()
@@ -218,9 +250,11 @@ def make_server(
                 if length <= 0 or length > 256 << 20:
                     raise ValueError("missing or oversized body")
                 rgb = _decode_ldr(self.rfile.read(length)).astype(np.float32) / 255.0
+                bucket = batcher.bucket_key(rgb.shape)
                 hdr = batcher.predict(rgb)
                 body = _encode_hdr(hdr)
-                stats.record(time.perf_counter() - t0, error=False)
+                stats.record(time.perf_counter() - t0, error=False,
+                             bucket=bucket)
                 self._reply(200, body, "image/vnd.radiance")
             except Exception as e:  # noqa: BLE001 — map any failure to 400
                 stats.record(time.perf_counter() - t0, error=True)

