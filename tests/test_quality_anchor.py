@@ -23,6 +23,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # measured").
 MIN_PSNR_MU = 23.4
 MIN_SSIM_MU = 0.93
+# Linear-domain floor (VERDICT r4 weak #3: absolute radiance scale is what
+# HDR reconstruction is FOR, and it was previously ungated).  r4 measured
+# 12.27 dB; the floor sits ~1 dB under the latest artifact's value and must
+# be RAISED whenever a new anchor improves it.
+MIN_PSNR_LINEAR = 11.2
 
 
 def _latest_artifact():
@@ -39,3 +44,7 @@ def test_quality_anchor_gate():
     assert q["psnr_mu"] is not None and q["ssim_mu"] is not None
     assert q["psnr_mu"] >= MIN_PSNR_MU, f"mu-PSNR regressed: {q['psnr_mu']}"
     assert q["ssim_mu"] >= MIN_SSIM_MU, f"mu-SSIM regressed: {q['ssim_mu']}"
+    assert q.get("psnr_linear") is not None, "artifact missing psnr_linear"
+    assert q["psnr_linear"] >= MIN_PSNR_LINEAR, (
+        f"linear PSNR regressed: {q['psnr_linear']}"
+    )

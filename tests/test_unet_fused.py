@@ -106,13 +106,12 @@ def test_env_gate(monkeypatch):
 
 
 def test_arena_budget_gate(monkeypatch):
-    """_fused_prefix applies hal's measured per-stage arena budget; an
+    """_fused_prefix applies the U-Net's own measured arena budget; an
     explicit SINGLEHDR_FUSED_UNET=1 bypasses it (experiments only)."""
-    from singlehdr_tpu.models.hallucination import _FUSED_ARENA_BUDGET
     from singlehdr_tpu.models import unet as u
 
     monkeypatch.delenv("SINGLEHDR_FUSED_UNET", raising=False)
-    assert u._fused_unet_budget() == _FUSED_ARENA_BUDGET
+    assert u._fused_unet_budget() == u._FUSED_UNET_BUDGET
     monkeypatch.setenv("SINGLEHDR_FUSED_UNET", "1")
     assert u._fused_unet_budget() is None
     monkeypatch.delenv("SINGLEHDR_FUSED_UNET", raising=False)
@@ -126,7 +125,7 @@ def test_arena_budget_gate(monkeypatch):
     monkeypatch.setattr(k, "supported", lambda *a, **kw: True)
     net = ResidualUNet()
     assert net._fused_prefix((4, 512, 512, 3)) > 0  # well under budget
-    over_b = _FUSED_ARENA_BUDGET // (512 * 512 * net.stem_features) + 1
+    over_b = u._FUSED_UNET_BUDGET // (512 * 512 * net.stem_features) + 1
     assert net._fused_prefix((over_b, 512, 512, 3)) == 0
     monkeypatch.setenv("SINGLEHDR_FUSED_UNET", "1")
     assert net._fused_prefix((over_b, 512, 512, 3)) > 0  # explicit bypass
