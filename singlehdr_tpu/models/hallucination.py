@@ -81,15 +81,17 @@ def _fused_enc_allowed(load: int) -> bool:
 class EncoderStage(nn.Module):
     """n_convs ReLU convs then 2x2/2 max-pool.
 
-    Returns ``(pooled, skip, nchw)``: when ``nchw`` is True both outputs are
-    [b, c, h, w] — the eval-mode fused Pallas pass
-    (ops.pallas.enc_pool_pallas) keeps everything channels-major because the
-    dense XLA form pads C=64 NHWC tensors 2x in the lane dim and
-    materializes the conv1 activation (BENCH_NOTES r3).  Fused stages chain
-    without transposes; the NCHW skips are converted to NHWC once at the
-    encoder/decoder boundary (see HallucinationNet.__call__).
-    Training (and any unsupported shape/backend) uses the dense convs;
-    parameters are identical between the paths."""
+    Returns ``(pooled, skip, nchw)``: when ``nchw`` is True the POOLED output
+    is [b, c, h, w] — the eval-mode fused Pallas pass
+    (ops.pallas.enc_pool_pallas) keeps the encoder chain channels-major
+    because the dense XLA form pads C=64 NHWC tensors 2x in the lane dim and
+    materializes the conv1 activation (BENCH_NOTES r3).  The skip is ALWAYS
+    NHWC: the fused kernel transposes it in-register on the MXU before the
+    HBM write (nhwc_skip, ROADMAP #10(a)), so the decoder consumes it
+    directly and an NCHW twin never exists — the +6 GiB two-layout arena
+    that kept the fused chain from compiling at large batch (BENCH_NOTES
+    r4) is structurally gone.  Training (and any unsupported shape/backend)
+    uses the dense convs; parameters are identical between the paths."""
 
     features: int
     n_convs: int
@@ -127,7 +129,7 @@ class EncoderStage(nn.Module):
             k2, b2 = _ConvParams(self.features, name="conv2")(self.features)
             pooled, skip = encoder_stage2(
                 x, k1.astype(self.dtype), b1, k2.astype(self.dtype), b2,
-                nchw_in=nchw,
+                nchw_in=nchw, nhwc_skip=True,
             )
             return pooled, skip, True
         if nchw:
@@ -295,28 +297,9 @@ class HallucinationNet(nn.Module):
             x, s, nchw = EncoderStage(f, n, dtype=self.dtype, name=f"enc{i + 1}")(
                 x, train, nchw
             )
-            skips.append((s, nchw))
+            skips.append(s)  # always NHWC (fused stages transpose in-kernel)
         if nchw:
             x = jnp.transpose(x, (0, 2, 3, 1))
-        if any(s_nchw for _, s_nchw in skips):
-            # NHWC skip boundary: hand every fused (NCHW) skip to the decoder
-            # as an explicit NHWC copy.  The optimization_barrier forces the
-            # copy to materialize HERE — XLA otherwise folds the transpose
-            # into the decoder-side consumer, keeping the NCHW original live
-            # across the whole decoder and adding a second-layout twin per
-            # skip (+6.0 GiB arena at b96 @ 512^2, BENCH_NOTES r3/r4).  With
-            # the boundary the arena is dense-identical and the fused chain
-            # is throughput-neutral at b64 and a 3-4% win at b96-b120
-            # (BENCH_NOTES r4 "NHWC skip boundary").  Only fused skips are
-            # barriered; dense NHWC skips keep their producer fusions.
-            fused = [s for s, s_nchw in skips if s_nchw]
-            fused = jax.lax.optimization_barrier(
-                tuple(jnp.transpose(s, (0, 2, 3, 1)) for s in fused)
-            )
-            it = iter(fused)
-            skips = [
-                (next(it) if s_nchw else s, False) for s, s_nchw in skips
-            ]
 
         x = conv(512, 3, dtype=self.dtype, name="latent_conv")(x)
         x = nn.relu(batch_norm(train, name="latent_bn", dtype=self.dtype)(x))
@@ -331,7 +314,7 @@ class HallucinationNet(nn.Module):
         # fusion saving amortizes.  Measurements in BENCH_NOTES.md; the
         # dense path below (fused upsample-conv + _SplitConv1x1 + NCHW
         # tail) is the winner.
-        for i, (skip, _) in zip(range(len(_ENC), 0, -1), reversed(skips)):
+        for i, skip in zip(range(len(_ENC), 0, -1), reversed(skips)):
             f = _ENC[i - 1][0]
             x = DecoderStage(f, dtype=self.dtype, name=f"dec{i}")(x, train)
             x = SkipFusion(f, dtype=self.dtype, name=f"skip{i}")(x, skip)

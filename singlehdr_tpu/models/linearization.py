@@ -59,15 +59,87 @@ class BottleneckResBlock(nn.Module):
         return nn.relu(shortcut + h)
 
 
+class _StemConvParams(nn.Module):
+    """Owns the stem conv (kernel, bias) without computing it — the fused
+    feature+stem kernel consumes the raw weights.  Names/shapes/inits match
+    ``layers.conv`` exactly: one checkpoint layout for both paths."""
+
+    @nn.compact
+    def __call__(self):
+        from singlehdr_tpu.models.layers import glorot
+        from singlehdr_tpu.ops.histogram import N_FEATURES
+
+        k = self.param(
+            "kernel", glorot(), (7, 7, N_FEATURES, 64), jnp.float32
+        )
+        b = self.param("bias", nn.initializers.zeros, (64,), jnp.float32)
+        return k, b
+
+
+class _StemBnParams(nn.Module):
+    """Owns stem_bn's params/stats (eval-mode BN is affine and folds into
+    the conv — exact).  Matches nn.BatchNorm's layout."""
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (64,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (64,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((64,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((64,), jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
+def _fused_lin_enabled() -> bool:
+    import os
+
+    return os.environ.get("SINGLEHDR_FUSED_LIN", "1") == "1"
+
+
 class CrfFeatureNet(nn.Module):
-    """7x7/2 stem + maxpool + res1..res5 + global average pool -> [b, 512]."""
+    """7x7/2 stem + maxpool + res1..res5 + global average pool -> [b, 512].
+
+    ``ldr`` (given) replaces the materialized 93-channel feature stack: the
+    eval-mode fused Pallas pass (ops.pallas.lin_stem_pallas) computes the
+    stack in VMEM and applies the BN-folded stem in one kernel — the dense
+    path materializes ~15 GB of stack traffic at b128 @ 512^2 for a tensor
+    the stem immediately reduces 93 -> 64 at quarter area (BENCH_NOTES r5).
+    Parameters are identical between the paths."""
 
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        h = conv(64, 7, strides=2, dtype=self.dtype, name="stem")(feats)
-        h = nn.relu(batch_norm(train, name="stem_bn", dtype=self.dtype)(h))
+    def __call__(self, feats: jnp.ndarray, train: bool = False,
+                 ldr: jnp.ndarray | None = None) -> jnp.ndarray:
+        import jax
+
+        from singlehdr_tpu.models.layers import BN_EPSILON
+        from singlehdr_tpu.ops.pallas.lin_stem_pallas import (
+            lin_feature_stem,
+            supported,
+        )
+
+        if (
+            ldr is not None
+            and not train
+            and _fused_lin_enabled()
+            and jax.default_backend() == "tpu"
+            and supported(ldr.shape)
+        ):
+            k, b = _StemConvParams(name="stem")()
+            scale, bias, mean, var = _StemBnParams(name="stem_bn")()
+            inv = scale / jnp.sqrt(var + BN_EPSILON)
+            k_fold = (k * inv[None, None, None, :]).astype(self.dtype)
+            b_fold = (b - mean) * inv + bias
+            h = lin_feature_stem(ldr.astype(self.dtype), k_fold, b_fold)
+        else:
+            if feats is None:
+                feats = linearization_features(ldr.astype(self.dtype))
+            h = conv(64, 7, strides=2, dtype=self.dtype, name="stem")(feats)
+            h = nn.relu(batch_norm(train, name="stem_bn", dtype=self.dtype)(h))
         h = max_pool(h, 3, 2, "SAME")
         h = BottleneckResBlock((64, 64, 256), projection=True, dtype=self.dtype, name="res1")(h, train)
         h = BottleneckResBlock((64, 64, 256), dtype=self.dtype, name="res2")(h, train)
@@ -82,11 +154,13 @@ class LinearizationNet(nn.Module):
 
     @nn.compact
     def __call__(self, ldr: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        # Build the feature stack in the compute dtype: the stack feeds a
-        # dtype-cast conv anyway, and f32 intermediates at [b,h,w,16,3]-scale
-        # made lin memory-bound (53 GB/batch at b64 @ 512^2 — BENCH_NOTES r2).
-        feats = linearization_features(ldr.astype(self.dtype))       # [b,h,w,93]
-        feat = CrfFeatureNet(dtype=self.dtype, name="crf_feature_net")(feats, train)
+        # The feature stack is built inside CrfFeatureNet (fused with the
+        # stem on the TPU eval path; dense in the compute dtype otherwise —
+        # f32 intermediates at [b,h,w,16,3]-scale made lin memory-bound,
+        # 53 GB/batch at b64 @ 512^2, BENCH_NOTES r2).
+        feat = CrfFeatureNet(dtype=self.dtype, name="crf_feature_net")(
+            None, train, ldr=ldr
+        )
         w = dense(N_PCA_WEIGHTS, name="pca_head")(feat.astype(jnp.float32))
         inv_emor = load_inverse_emor()
         invcrf = decode_invcrf(

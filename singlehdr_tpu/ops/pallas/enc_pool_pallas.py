@@ -80,7 +80,11 @@ def _vmem_bytes(th: int, c: int, f: int, w: int) -> int:
     piece = 3 * f * th * w * bf2               # one kh tap's kw-concat
     outs = (th * w * f + (th // 2) * w * f) * bf2
     weights = (f * 9 * c + 9 * f * f) * bf2
-    return slab + col1 + c1buf + acc + piece + outs + weights
+    # transposed-skip emission (nhwc_skip): the [THW, F] f32 dot output and
+    # its bf16 cast, both lane-padded to >=128 — counted unconditionally
+    # (conservative for the NCHW mode; no measured geometry changes block)
+    xpose = th * w * max(f, 128) * (4 + bf2)
+    return slab + col1 + c1buf + acc + piece + outs + weights + xpose
 
 
 def _pick_th(h: int, c: int, f: int, w: int):
@@ -145,7 +149,7 @@ def _rolled_taps(piece, masks):
 
 def _kernel(
     x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, hpool_ref, skip_ref, slab, c1buf,
-    sem, *, TH, W, F, NH,
+    sem, *, TH, W, F, NH, NHWC_SKIP,
 ):
     i_b = pl.program_id(0)
     i_h = pl.program_id(1)
@@ -194,7 +198,29 @@ def _kernel(
         )
     out2 = jnp.maximum(out2 + b2_ref[:].astype(jnp.float32), 0.0)
     act = out2.astype(skip_ref.dtype)          # [F, THW]
-    skip_ref[0] = act
+    if NHWC_SKIP:
+        # Emit the skip already pixels-major ([THW, F]) via an MXU
+        # identity-matmul transpose (ROADMAP #10(a)): the NCHW original then
+        # never exists in HBM, so the decoder consumes the skip directly with
+        # no boundary copy and no second-layout twin — the arena cost that
+        # kept the fused chain from compiling at b128 (BENCH_NOTES r4).
+        # dot_general contracting act's F dim against I_F yields act^T; each
+        # output element is one exact x*1 product, so bf16 is bit-exact.
+        r = jax.lax.broadcasted_iota(jnp.int32, (F, F), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (F, F), 1)
+        eye = (1 - jnp.minimum(jnp.abs(r - c), 1)).astype(act.dtype)
+        # HIGHEST precision: under the default, an f32 act is rounded to ONE
+        # bf16 pass (measured 3.9e-3 skip error); bf16 act is exact either
+        # way (each output is a single x*1 product), and the multi-pass cost
+        # on this tiny [F,F] contraction is noise.
+        skip_ref[0] = jax.lax.dot_general(
+            act, eye,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(skip_ref.dtype)               # [THW, F]
+    else:
+        skip_ref[0] = act
 
     # H-pool: roll row h+1 onto row h, max, keep even rows — every slice is a
     # 128-aligned lane-tile slice (W % 128 == 0), so no relayouts
@@ -218,9 +244,10 @@ def _xla_reference(x_nhwc, w1, b1, w2, b2):
     return pooled, y
 
 
-@functools.partial(jax.jit, static_argnames=("nchw_in",))
-def encoder_stage2(x, w1, b1, w2, b2, nchw_in: bool = False):
-    """Fused 2-conv VGG encoder stage; NCHW outputs.
+@functools.partial(jax.jit, static_argnames=("nchw_in", "nhwc_skip"))
+def encoder_stage2(x, w1, b1, w2, b2, nchw_in: bool = False,
+                   nhwc_skip: bool = False):
+    """Fused 2-conv VGG encoder stage; NCHW pooled output.
 
     Args:
       x: [B, H, W, C] stage input (bf16 or f32), or [B, C, H, W] when
@@ -229,9 +256,13 @@ def encoder_stage2(x, w1, b1, w2, b2, nchw_in: bool = False):
       b1: [F] bias of the first conv.
       w2: [3, 3, F, F] HWIO kernel of the second conv.
       b2: [F] bias of the second conv.
+      nhwc_skip: emit the skip as [B, H, W, F] (transposed in-kernel on the
+        MXU) instead of NCHW — the decoder then consumes it directly with no
+        boundary copy and no NCHW twin ever existing in HBM.
 
     Returns:
-      (pooled, skip): [B, F, H/2, W/2] and [B, F, H, W], both NCHW —
+      (pooled, skip): [B, F, H/2, W/2] NCHW and the pre-pool activation
+      [B, F, H, W] (or [B, H, W, F] under ``nhwc_skip``) —
       ``pooled = maxpool2x2(skip)``, ``skip = relu(conv2(relu(conv1(x))))``.
     """
     if nchw_in:
@@ -254,7 +285,19 @@ def encoder_stage2(x, w1, b1, w2, b2, nchw_in: bool = False):
     b1c = b1.reshape(F, 1).astype(jnp.float32)
     b2c = b2.reshape(F, 1).astype(jnp.float32)
     grid = (B, H // TH)
-    kernel = functools.partial(_kernel, TH=TH, W=W, F=F, NH=H // TH)
+    kernel = functools.partial(
+        _kernel, TH=TH, W=W, F=F, NH=H // TH, NHWC_SKIP=nhwc_skip
+    )
+    if nhwc_skip:
+        skip_spec = pl.BlockSpec(
+            (1, TH * W, F), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        )
+        skip_shape = jax.ShapeDtypeStruct((B, H * W, F), dt)
+    else:
+        skip_spec = pl.BlockSpec(
+            (1, F, TH * W), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        )
+        skip_shape = jax.ShapeDtypeStruct((B, F, H * W), dt)
     hpool, skip = pl.pallas_call(
         kernel,
         grid=grid,
@@ -274,14 +317,11 @@ def encoder_stage2(x, w1, b1, w2, b2, nchw_in: bool = False):
                 (1, F, (TH // 2) * W), lambda i, j: (i, 0, j),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, F, TH * W), lambda i, j: (i, 0, j),
-                memory_space=pltpu.VMEM,
-            ),
+            skip_spec,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, F, (H // 2) * W), dt),
-            jax.ShapeDtypeStruct((B, F, H * W), dt),
+            skip_shape,
         ),
         scratch_shapes=[
             pltpu.VMEM((Cp, (TH + 4) * W), dt),
@@ -298,4 +338,7 @@ def encoder_stage2(x, w1, b1, w2, b2, nchw_in: bool = False):
     # W-pair reduction of the half-pooled tensor (lane compaction has no
     # cheap Mosaic form; this is a 4x-smaller tensor, one fused XLA pass)
     pooled = jnp.max(hpool.reshape(B, F, (H // 2) * (W // 2), 2), axis=3)
-    return pooled.reshape(B, F, H // 2, W // 2), skip.reshape(B, F, H, W)
+    skip = (
+        skip.reshape(B, H, W, F) if nhwc_skip else skip.reshape(B, F, H, W)
+    )
+    return pooled.reshape(B, F, H // 2, W // 2), skip
