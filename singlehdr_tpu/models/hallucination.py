@@ -47,17 +47,17 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
-# Measured fused-stage HBM budget (v5e, compiled.memory_analysis() +
-# compile-fit probes, BENCH_NOTES r4 "NHWC skip boundary").  With the
-# encoder/decoder boundary transpose below, the fused chain's arena is
-# IDENTICAL to dense (b96 @ 512^2: 12.11 GiB both; the old channels-major
-# skip consumption cost +6.0 GiB — its decoder consumers forced a second
-# layout of every skip).  What remains is plain HBM fit of the whole
-# pipeline: b120 @ 512^2 compiles (12.97 GiB temp) and wins (+3.1%), b128
-# (load 2.147e9) fails compile with the fused stem regardless of boundary
-# — and b128 dense is the throughput headline anyway (batch-lane-aligned:
-# 1019.7 ms/batch vs b120's 1058).  The cap below admits every measured
-# fit and excludes b128.
+# Fused-vs-dense crossover batch, expressed as a per-stage load (measured
+# v5e 16 GiB @ 512^2 eval, 2026-08-20 — at other resolutions/HBM sizes the
+# b*h*w*f proxy is only a proxy; re-measure before trusting it there).
+# With the in-kernel NHWC skip emission plus the 1/255-fold into the
+# skip-fusion kernels, arena no longer decides: the fused pipeline COMPILES
+# at b128 (13.61 GiB temp vs dense's fit).  Speed does: the fused chain wins
+# standalone at b <= 96 (hal b96: 363.3 vs 406.1 ms dense) but LOSES
+# in-pipeline at b128 (131.9 vs 135.4 img/s with einsum fusions; dense
+# with conv1x1 fusions is faster still at 143.0) — near HBM peak the fused
+# chain's extra hpool/pad buffers cost more than its lane-packing saves.
+# The cap below keeps fusion on through b120 and dense at b128+.
 _FUSED_ARENA_BUDGET = 2_050_000_000
 
 
@@ -170,6 +170,7 @@ class _NarrowConv1x1(nn.Module):
     features: int
     dtype: Any = jnp.float32
     nchw: bool = False
+    y_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -182,15 +183,21 @@ class _NarrowConv1x1(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
-        k = kernel[0, 0].astype(self.dtype)                  # [cx+cy, cout]
+        # y's scale (the encoder skip's 1/255) folds into the [cy, f] kernel
+        # rows in f32 — NOT into y itself: a per-element scale of the skip
+        # materializes a full second copy of a GiB-scale tensor as its own
+        # kLoop pass (HLO-verified at b64 @ 512^2, 2026-08-20).
+        k = kernel[0, 0]
+        ky = (k[cx:] * self.y_scale).astype(self.dtype)
+        k = k.astype(self.dtype)
         x = x.astype(self.dtype)
         y = y.astype(self.dtype)
         if self.nchw:
             out = jnp.einsum("bihw,io->bohw", x, k[:cx])
-            out = out + jnp.einsum("bihw,io->bohw", y, k[cx:])
+            out = out + jnp.einsum("bihw,io->bohw", y, ky)
             return out + bias.astype(out.dtype)[None, :, None, None]
         out = (x[..., None] * k[:cx]).sum(-2)
-        out = out + (y[..., None] * k[cx:]).sum(-2)
+        out = out + (y[..., None] * ky).sum(-2)
         return out + bias.astype(out.dtype)
 
 
@@ -223,13 +230,16 @@ class _SplitConv1x1(nn.Module):
     The concat form materializes a [., 2C] tensor (a full extra HBM
     round-trip of both operands — ~4 GB at dec2's b64 @ 256^2 x 256ch)
     purely to feed a contraction XLA could split; the two-einsum form reads
-    each operand once, and the preceding BN/ReLU and the skip's /255 scale
-    fuse into the matmul operands.  Parameters ('kernel' [1,1,cx+cy,f],
-    'bias') are identical to nn.Conv over the concat, so checkpoints
-    interchange with the reference layout."""
+    each operand once.  The skip's 1/255 scale folds into the [cy, f] kernel
+    rows (``y_scale``) — scaling y itself materializes a full second copy of
+    the GiB-scale skip as its own kLoop pass (HLO-verified at b64 @ 512^2,
+    2026-08-20).  Parameters ('kernel' [1,1,cx+cy,f], 'bias') are identical
+    to nn.Conv over the concat, so checkpoints interchange with the
+    reference layout."""
 
     features: int
     dtype: Any = jnp.float32
+    y_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -241,9 +251,26 @@ class _SplitConv1x1(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
-        k = kernel[0, 0].astype(self.dtype)
-        out = jnp.einsum("bhwc,co->bhwo", x.astype(self.dtype), k[:cx])
-        out = out + jnp.einsum("bhwc,co->bhwo", y.astype(self.dtype), k[cx:])
+        # Real 1x1 convs, NOT einsums: a dot lowers through a [BHW, C]
+        # reshape whose row-major output layout mismatches what TPU layout
+        # assignment picks for the neighboring conv operands ({3,0,2,1}),
+        # inserting 2 GiB pad+copy pairs around every decoder stage.  The
+        # conv form chains through conv layout assignment with no copies:
+        # hal standalone b120 @ 512^2 measured 388.9 ms vs 495.6 einsum
+        # (-21.5%), pipeline b128 945.0 -> 895.1 ms, joint train step
+        # 148.2 -> 150.0 img/s (2026-08-20, BENCH_NOTES r5).
+        k = kernel[0, 0]
+        ky = (k[cx:] * self.y_scale).astype(self.dtype)
+        kx = k[:cx].astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kx[None, None], (1, 1), "VALID",
+            dimension_numbers=dn,
+        )
+        out = out + jax.lax.conv_general_dilated(
+            y.astype(self.dtype), ky[None, None], (1, 1), "VALID",
+            dimension_numbers=dn,
+        )
         return out + bias.astype(out.dtype)
 
 
@@ -258,16 +285,19 @@ class SkipFusion(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
-        skip = skip.astype(x.dtype) / 255.0
+        # The 1/255 lives in the conv's y-kernel rows, not on the skip
+        # tensor — see _SplitConv1x1.y_scale.
+        skip = skip.astype(x.dtype)
         caxis = 1 if self.nchw else -1
         if (x.shape[caxis] + skip.shape[caxis]) * self.features <= 64:
             return _NarrowConv1x1(
-                self.features, dtype=self.dtype, nchw=self.nchw, name="conv"
+                self.features, dtype=self.dtype, nchw=self.nchw,
+                y_scale=1.0 / 255.0, name="conv",
             )(x, skip)
         assert not self.nchw, "wide NCHW skip fusion unsupported"
-        return _SplitConv1x1(self.features, dtype=self.dtype, name="conv")(
-            x, skip
-        )
+        return _SplitConv1x1(
+            self.features, dtype=self.dtype, y_scale=1.0 / 255.0, name="conv"
+        )(x, skip)
 
 
 _ENC = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))

@@ -209,15 +209,20 @@ def _kernel(
         r = jax.lax.broadcasted_iota(jnp.int32, (F, F), 0)
         c = jax.lax.broadcasted_iota(jnp.int32, (F, F), 1)
         eye = (1 - jnp.minimum(jnp.abs(r - c), 1)).astype(act.dtype)
-        # HIGHEST precision: under the default, an f32 act is rounded to ONE
-        # bf16 pass (measured 3.9e-3 skip error); bf16 act is exact either
-        # way (each output is a single x*1 product), and the multi-pass cost
-        # on this tiny [F,F] contraction is noise.
+        # HIGHEST precision for f32 only: under the default, an f32 act is
+        # rounded to ONE bf16 pass (measured 3.9e-3 skip error).  bf16 act is
+        # exact either way (each output is a single x*1 product) — and Mosaic
+        # REJECTS a multi-pass precision request on bf16 operands ("Bad lhs
+        # type" for the fp32-contract tpu.matmul, probed 2026-08-20), so the
+        # request must be dtype-conditional.
+        prec = (
+            jax.lax.Precision.HIGHEST if act.dtype == jnp.float32 else None
+        )
         skip_ref[0] = jax.lax.dot_general(
             act, eye,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         ).astype(skip_ref.dtype)               # [THW, F]
     else:
         skip_ref[0] = act

@@ -229,16 +229,19 @@ def _kernel(prep_hbm, w_ref, b_ref, out_ref, slab0, slab1, sem0, sem1,
         )
     out = jnp.maximum(acc + b_ref[:].astype(jnp.float32), 0.0).astype(dt)
 
-    # pixels-major emission via the MXU identity transpose (HIGHEST so an
-    # f32 act is not rounded through one bf16 pass; exact for bf16)
+    # pixels-major emission via the MXU identity transpose.  HIGHEST for f32
+    # only (so it is not rounded through one bf16 pass); bf16 is exact with
+    # default precision, and Mosaic rejects a multi-pass precision request on
+    # bf16 operands ("Bad lhs type", probed 2026-08-20).
     r = jax.lax.broadcasted_iota(jnp.int32, (OUT_F, OUT_F), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (OUT_F, OUT_F), 1)
     eye = (1 - jnp.minimum(jnp.abs(r - c), 1)).astype(out.dtype)
+    prec = jax.lax.Precision.HIGHEST if out.dtype == jnp.float32 else None
     out_ref[0] = jax.lax.dot_general(
         out, eye,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     ).astype(out_ref.dtype)
 
 
