@@ -189,3 +189,23 @@ def test_param_owners_match_dense_init():
                 np.asarray(vd[col]["stem_bn"][name]),
                 np.asarray(vo[col]["stem_bn"][name]),
             )
+
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel needs TPU")
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_kernel_matches_oracle_on_device(rng, dtype):
+    """The actual Mosaic kernel (incl. the ring paste) against the XLA
+    oracle on hardware — the numpy simulation above pins the index math,
+    this pins the Mosaic lowering (rolls, bitcasts, MXU transpose)."""
+    x = jnp.asarray(rng.rand(2, 64, 256, 3).astype(np.float32), dtype)
+    k = jnp.asarray((rng.randn(7, 7, 93, 64) * 0.05).astype(np.float32), dtype)
+    b = jnp.asarray((rng.randn(64) * 0.01).astype(np.float32))
+    fused = np.asarray(m.lin_feature_stem(x, k, b), np.float32)
+    ref = np.asarray(
+        m._xla_reference(x.astype(dtype), k, b), np.float32
+    )
+    tol = 2e-4 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(fused, ref, atol=tol, rtol=tol)
