@@ -149,13 +149,28 @@ class UpStage(nn.Module):
         if self.fast_convs:
             x = resize_bilinear_x2(x)
             x = self._conv("conv1")(x)
-        else:
-            x = UpsampleConv(
-                self.features, act="leaky_relu", dtype=self.dtype, name="conv1"
-            )(x)
-        x = jnp.concatenate([x, skip], axis=-1)
-        x = self._conv("conv2")(x)
-        return x
+            x = jnp.concatenate([x, skip], axis=-1)
+            return self._conv("conv2")(x)
+        x = UpsampleConv(
+            self.features, act="leaky_relu", dtype=self.dtype, name="conv1"
+        )(x)
+        # conv2 over concat(x, skip) computed as two SAME convs summed: the
+        # concat form writes+reads a [., 2F] tensor (2.1 GiB at up4's
+        # b128 @ 512^2) purely to feed a conv whose input-channel dim splits.
+        # Params (kernel [3,3,cx+cy,f] via _ConvParams) are identical to the
+        # concat conv, so checkpoints interchange.
+        cx = x.shape[-1]
+        k, b = _ConvParams(self.features, 3, name="conv2")(cx + skip.shape[-1])
+        dn = ("NHWC", "HWIO", "NHWC")
+        out = jax.lax.conv_general_dilated(
+            x, k[:, :, :cx].astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=dn,
+        )
+        out = out + jax.lax.conv_general_dilated(
+            skip.astype(x.dtype), k[:, :, cx:].astype(x.dtype), (1, 1),
+            "SAME", dimension_numbers=dn,
+        )
+        return leaky_relu(out + b.astype(out.dtype))
 
     def _conv(self, name: str):
         return _stage_conv(
