@@ -364,6 +364,7 @@ def run_real_finetune(
         t0 = time.perf_counter()
         tracker.reset()
         aux = {}
+        losses = []
         for ldr, hdr in pipeline.epoch():
             if full_bs is None:
                 full_bs = int(ldr.shape[0])
@@ -384,8 +385,25 @@ def run_real_finetune(
                     ldr = np.concatenate([ldr, np.repeat(ldr[-1:], short, axis=0)])
                     hdr = np.concatenate([hdr, np.repeat(hdr[-1:], short, axis=0)])
                 ldr, hdr = shard_batch(mesh, (ldr, hdr))
-            state, loss, aux = step_fn(state, jnp.asarray(ldr), jnp.asarray(hdr))
-            tracker.update(float(aux["loss_ref"]))
+                state, loss, aux = step_fn(
+                    state, jnp.asarray(ldr), jnp.asarray(hdr)
+                )
+            else:
+                # Tunnel-latency discipline (mirrors the synth feed fixes,
+                # BENCH_NOTES r5 "fixed latency per transfer"): ldr+hdr ride
+                # ONE packed upload and split on-device; the per-step loss is
+                # NOT synced — float(loss) each step serializes an extra
+                # ~170 ms readback into every 4-image batch.
+                packed = jnp.asarray(np.concatenate([ldr, hdr], axis=0))
+                b = ldr.shape[0]
+                state, loss, aux = step_fn(state, packed[:b], packed[b:])
+            losses.append(aux["loss_ref"])
+            if len(losses) > 4:
+                # bound the dispatch queue without serializing: sync a loss
+                # scalar a few steps behind the head
+                losses[-5] = float(losses[-5])
+        for v in losses:
+            tracker.update(float(v))
         epoch_time = time.perf_counter() - t0
         writer.scalar("ref/loss", tracker.result(), epoch)
         writer.scalar("ref/epoch_time_s", epoch_time, epoch)
