@@ -53,25 +53,39 @@ def run(args) -> dict:
     pipe = ReverseCameraPipeline()
 
     @jax.jit
-    def predict(ldr):
+    def metrics_step(packed):
+        """One packed upload in, three device scalars out — per-batch float()
+        syncs serialized ~3 extra tunnel round-trips into every eval batch
+        (BENCH_NOTES r5 'fixed latency per transfer')."""
+        b = packed.shape[0] // 2
+        ldr, gt = packed[:b], packed[b:]
         out = pipe.apply(variables, ldr).hdr
-        return out / (1e-6 + jnp.mean(out, axis=(1, 2, 3), keepdims=True)) * 0.5
+        pred = out / (1e-6 + jnp.mean(out, axis=(1, 2, 3), keepdims=True)) * 0.5
+        pred_mu, gt_mu = mu_tonemap(pred), mu_tonemap(gt)
+        return (
+            psnr(pred, gt, max_val=args.linear_peak),
+            psnr(pred_mu, gt_mu),
+            ssim(pred_mu, gt_mu),
+        )
 
     data = HdrRealPipeline(
         args.records, batch_size=args.batch_size, training=False, prefix=args.prefix
     )
     m_psnr_lin, m_psnr_mu, m_ssim_mu = Mean(), Mean(), Mean()
+    pending = []
     for i, (ldr, hdr) in enumerate(data.epoch()):
         if args.max_batches and i >= args.max_batches:
             break
         if ldr.shape[0] != args.batch_size:
             continue  # skip the short tail batch (avoids a recompile)
-        pred = predict(jnp.asarray(ldr))
-        gt = jnp.asarray(hdr)
-        pred_mu, gt_mu = mu_tonemap(pred), mu_tonemap(gt)
-        m_psnr_lin.update(float(psnr(pred, gt, max_val=args.linear_peak)))
-        m_psnr_mu.update(float(psnr(pred_mu, gt_mu)))
-        m_ssim_mu.update(float(ssim(pred_mu, gt_mu)))
+        pending.append(metrics_step(jnp.asarray(np.concatenate([ldr, hdr]))))
+        if len(pending) > 3:  # bound the dispatch queue a few batches deep
+            pending[-4] = tuple(float(v) for v in pending[-4])
+    for tup in pending:
+        lin_db, mu_db, ss = (float(v) for v in tup)
+        m_psnr_lin.update(lin_db)
+        m_psnr_mu.update(mu_db)
+        m_ssim_mu.update(ss)
     results = {
         "psnr_linear_db": round(m_psnr_lin.result(), 3),
         "psnr_mu_db": round(m_psnr_mu.result(), 3),
