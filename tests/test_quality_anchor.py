@@ -15,19 +15,19 @@ import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Floors ~1 dB / 0.015 below the measured r4 anchor (24.46 dB mu-PSNR /
-# 0.944 mu-SSIM after the extended run — QUALITY_r04.json; untrained
-# pipeline measures 12.5 dB / 0.837) so ordinary run-to-run noise passes
-# but a semantic regression (loss mis-wiring, broken restore, channel
-# swaps) fails.  Raised per VERDICT r3 #1 ("floors within ~1 dB of
-# measured").
-MIN_PSNR_MU = 23.4
-MIN_SSIM_MU = 0.93
+# Floors ~1 dB / 0.01 below the measured r5 anchor (26.56 dB mu-PSNR /
+# 0.959 mu-SSIM — QUALITY_r05.json extension run; the r5 FRESH run
+# measured 24.21/0.949, and the untrained pipeline 12.5/0.837) so ordinary
+# run-to-run noise passes but a semantic regression (loss mis-wiring,
+# broken restore, channel swaps) fails.  Raise whenever a new anchor
+# improves the artifact.
+MIN_PSNR_MU = 25.5
+MIN_SSIM_MU = 0.948
 # Linear-domain floor (VERDICT r4 weak #3: absolute radiance scale is what
-# HDR reconstruction is FOR, and it was previously ungated).  r4 measured
-# 12.27 dB; the floor sits ~1 dB under the latest artifact's value and must
-# be RAISED whenever a new anchor improves it.
-MIN_PSNR_LINEAR = 11.2
+# HDR reconstruction is FOR).  r5 measured 15.67 dB; the floor sits ~1 dB
+# under the latest artifact's value and must be RAISED whenever a new
+# anchor improves it.
+MIN_PSNR_LINEAR = 14.6
 
 
 def _latest_artifact():
