@@ -106,7 +106,14 @@ def _simulate(x, kernel7, bias):
 
 def test_simulated_kernel_matches_oracle_interior(rng):
     """The kernel's index math == the oracle away from the RING border
-    (the wrapper recomputes the ring with the oracle itself)."""
+    (the wrapper recomputes the ring with the oracle itself).
+
+    CPU-only by design: the 2e-4 exactness bound assumes f32-exact convs,
+    and on TPU the oracle conv itself decomposes into bf16 passes (max
+    ~1.3e-2 drift observed).  The device kernel is covered on hardware by
+    test_kernel_matches_oracle_on_device below."""
+    if jax.default_backend() != "cpu":
+        pytest.skip("index-math exactness test; runs on CPU")
     x = rng.rand(2, 64, 256, 3).astype(np.float32)
     k = (rng.randn(7, 7, 93, 64) * 0.05).astype(np.float32)
     b = (rng.randn(64) * 0.01).astype(np.float32)
